@@ -1,0 +1,93 @@
+"""Geometry types (host-side containers bound into a Scene).
+
+Analog of reference kernels/common/geometry.h + scene_*_mesh.*: mutable
+buffer binding happens on the host; Scene.commit() flattens everything
+into immutable device arrays. Vertex buffers may be numpy or jnp arrays;
+passing jnp arrays keeps them on device and makes them differentiable
+inputs of the committed scene pytree.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class Geometry:
+    """Base geometry (geometry.h): enable/disable, user data, vertex attrs."""
+
+    def __init__(self):
+        self.enabled = True
+        self.user_data = None
+        self.geom_id: Optional[int] = None
+        self.vertex_attributes = []  # list of (V, K) arrays (rtcSetGeometryVertexAttributeCount)
+
+    def enable(self):
+        self.enabled = True
+
+    def disable(self):
+        self.enabled = False
+
+    @property
+    def num_prims(self) -> int:
+        raise NotImplementedError
+
+
+class TriangleMesh(Geometry):
+    """RTC_GEOMETRY_TYPE_TRIANGLE (scene_triangle_mesh.h)."""
+
+    def __init__(self, vertices, indices):
+        super().__init__()
+        self.vertices = vertices          # (V, 3) f32
+        self.indices = np.asarray(indices, np.int32)  # (T, 3)
+
+    @property
+    def num_prims(self) -> int:
+        return int(self.indices.shape[0])
+
+
+class QuadMesh(Geometry):
+    """RTC_GEOMETRY_TYPE_QUAD (scene_quad_mesh.h): quad = two triangles
+    (v0,v1,v3) + (v2,v3,v1) sharing the diagonal, uv in [0,1]^2 over the
+    quad with the second triangle remapped u->1-u, v->1-v (quadv.h)."""
+
+    def __init__(self, vertices, indices):
+        super().__init__()
+        self.vertices = vertices          # (V, 3) f32
+        self.indices = np.asarray(indices, np.int32)  # (Q, 4)
+
+    @property
+    def num_prims(self) -> int:
+        return int(self.indices.shape[0])
+
+
+class SubdivMesh(Geometry):
+    """RTC_GEOMETRY_TYPE_SUBDIVISION (scene_subdiv_mesh.{h,cpp}).
+
+    Face-vertex topology with optional crease/hole tags; evaluated by the
+    subdiv/ package (Catmull-Clark limit surface + optional displacement).
+    `displacement` is a *function* (P, Ng, u, v) -> P', replacing the
+    reference's C displacement callback ABI
+    (subdivpatch1base_eval.cpp:139-156) with a jax-traceable closure.
+    """
+
+    def __init__(self, vertices, face_counts, face_indices,
+                 edge_creases=None, edge_crease_weights=None,
+                 vertex_creases=None, vertex_crease_weights=None,
+                 holes=None, displacement=None,
+                 tessellation_rate: int = 2):
+        super().__init__()
+        self.vertices = vertices                              # (V, 3)
+        self.face_counts = np.asarray(face_counts, np.int32)  # (F,)
+        self.face_indices = np.asarray(face_indices, np.int32)  # (sum counts,)
+        self.edge_creases = edge_creases
+        self.edge_crease_weights = edge_crease_weights
+        self.vertex_creases = vertex_creases
+        self.vertex_crease_weights = vertex_crease_weights
+        self.holes = holes
+        self.displacement = displacement
+        self.tessellation_rate = tessellation_rate
+
+    @property
+    def num_prims(self) -> int:
+        return int(self.face_counts.shape[0])

@@ -1,0 +1,236 @@
+"""Scene: geometry container + commit orchestration.
+
+Analog of reference kernels/common/scene.{h,cpp}. `Scene` is the mutable
+host container (attach/detach, fork's subdivision/compression levels,
+scene.h:231-232); `commit()` plays Scene::commit_task (scene.cpp:632):
+
+  1. per-geometry preCommit (flatten buffers, subdiv tessellation)
+  2. accel selection by config (createTriangleAccel scene.cpp:130,
+     createSubdivAccel scene.cpp:491 incl. the fork's
+     subdiv_accel="bvh4.compressed.{grid,leaf,box,full}" modes :507-510)
+  3. build (SAH or morton by build quality)
+  4. publish an immutable CommittedScene pytree whose intersect/occluded
+     are jittable device functions (the Accel::Intersectors analog).
+
+The reference builds one accel per geometry type and aggregates them with
+AccelN (acceln.cpp:51 loops over accels); we do the same with at most two
+accels: the flattened triangle/quad soup and the compressed-subdiv accel.
+"""
+from __future__ import annotations
+
+import enum
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..build.bvh import BVH
+from ..build.sah import BuildSettings, build_sah
+from ..core.device import Device, Error
+from ..core.rayhit import Hits, Rays
+from ..scene.geometry import Geometry, QuadMesh, SubdivMesh, TriangleMesh
+from ..scene.prims import TrianglePrims, empty_triangle_prims, prim_bounds_np
+from ..traverse.packet import intersect_packet, occluded_packet
+
+
+class BuildQuality(enum.IntEnum):
+    LOW = 0      # morton/LBVH
+    MEDIUM = 1   # binned SAH (default)
+    HIGH = 2     # binned SAH (spatial splits TBD)
+    REFIT = 3
+
+
+class CommittedScene(NamedTuple):
+    """Immutable device-side scene (the Accel + leaf data)."""
+
+    bvh: BVH
+    tris: TrianglePrims
+    # compressed-subdiv accel, populated when subdiv geometries exist
+    # (round-1: placeholder None slots keep the pytree stable)
+    world_lower: jnp.ndarray  # (3,)
+    world_upper: jnp.ndarray  # (3,)
+
+
+def _as_np_f32(a):
+    return np.asarray(a, np.float32)
+
+
+class Scene:
+    def __init__(self, device: Device, quality: BuildQuality = BuildQuality.MEDIUM):
+        self.device = device
+        self.quality = quality
+        self.geometries: dict[int, Geometry] = {}
+        self._next_id = 0
+        # fork extension rtcSetSceneLevels (rtcore_scene.h:64-65), defaults
+        # from scene.cpp:41-42
+        self.subdivision_level = 6
+        self.compression_level = 3
+        self.committed: Optional[CommittedScene] = None
+        self.progress_monitor: Optional[Callable[[float], bool]] = None
+        self.build_time_s: float = 0.0
+
+    # --- geometry management (scene.cpp:585-620 bind/detachGeometry) -------
+    def attach(self, geom: Geometry) -> int:
+        gid = self._next_id
+        self._next_id += 1
+        geom.geom_id = gid
+        self.geometries[gid] = geom
+        return gid
+
+    def attach_by_id(self, geom: Geometry, gid: int) -> None:
+        """rtcAttachGeometryByID analog."""
+        if gid in self.geometries:
+            self.device.raise_error(Error.INVALID_ARGUMENT, f"geomID {gid} in use")
+        geom.geom_id = gid
+        self.geometries[gid] = geom
+        self._next_id = max(self._next_id, gid + 1)
+
+    def detach(self, geom_id: int) -> None:
+        if geom_id not in self.geometries:
+            self.device.raise_error(Error.INVALID_ARGUMENT, "bad geomID")
+        del self.geometries[geom_id]
+
+    def set_levels(self, subdivision_level: int, compression_level: int) -> None:
+        """Fork API rtcSetSceneLevels (rtcore.cpp:1469)."""
+        self.subdivision_level = int(subdivision_level)
+        self.compression_level = int(compression_level)
+
+    # --- commit (scene.cpp:632 commit_task) --------------------------------
+    def commit(self) -> CommittedScene:
+        t0 = time.perf_counter()
+        self._progress(0.0)
+
+        tri_v0, tri_v1, tri_v2 = [], [], []
+        tri_geom, tri_prim, tri_flip = [], [], []
+
+        for gid, g in sorted(self.geometries.items()):
+            if not g.enabled:
+                continue
+            if isinstance(g, TriangleMesh):
+                v = _as_np_f32(g.vertices)
+                idx = g.indices
+                tri_v0.append(v[idx[:, 0]])
+                tri_v1.append(v[idx[:, 1]])
+                tri_v2.append(v[idx[:, 2]])
+                n = idx.shape[0]
+                tri_geom.append(np.full(n, gid, np.int32))
+                tri_prim.append(np.arange(n, dtype=np.int32))
+                tri_flip.append(np.zeros(n, np.int32))
+            elif isinstance(g, QuadMesh):
+                v = _as_np_f32(g.vertices)
+                idx = g.indices
+                n = idx.shape[0]
+                # tri A = (v0, v1, v3), tri B = (v2, v3, v1)  (quadv.h)
+                tri_v0.append(v[idx[:, 0]]); tri_v1.append(v[idx[:, 1]]); tri_v2.append(v[idx[:, 3]])
+                tri_v0.append(v[idx[:, 2]]); tri_v1.append(v[idx[:, 3]]); tri_v2.append(v[idx[:, 1]])
+                tri_geom.append(np.full(2 * n, gid, np.int32))
+                tri_prim.append(np.concatenate([np.arange(n, dtype=np.int32)] * 2))
+                tri_flip.append(np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)]))
+            elif isinstance(g, SubdivMesh):
+                # round-1 placeholder: subdiv handled by the compressed accel
+                # in subdiv/ + build/cbvh (wired in a later milestone); until
+                # then tessellate to triangles eagerly via the subdiv package.
+                from ..subdiv.api import tessellate_to_triangles
+                v0, v1, v2, prim = tessellate_to_triangles(
+                    g, self.subdivision_level)
+                tri_v0.append(v0); tri_v1.append(v1); tri_v2.append(v2)
+                tri_geom.append(np.full(v0.shape[0], gid, np.int32))
+                tri_prim.append(prim.astype(np.int32))
+                tri_flip.append(np.zeros(v0.shape[0], np.int32))
+            else:
+                raise NotImplementedError(type(g))
+
+        if tri_v0:
+            v0 = np.concatenate(tri_v0); v1 = np.concatenate(tri_v1)
+            v2 = np.concatenate(tri_v2)
+            geom = np.concatenate(tri_geom); prim = np.concatenate(tri_prim)
+            flip = np.concatenate(tri_flip)
+            tris = TrianglePrims(
+                jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                jnp.asarray(geom), jnp.asarray(prim), jnp.asarray(flip))
+            lower, upper = prim_bounds_np(v0, v1, v2)
+        else:
+            tris = empty_triangle_prims()
+            lower = np.zeros((0, 3), np.float32)
+            upper = np.zeros((0, 3), np.float32)
+
+        self._progress(0.3)
+        settings = BuildSettings()
+        bvh_np = build_sah(lower, upper, settings)
+        self._progress(0.9)
+        bvh = bvh_np.to_device()
+
+        if lower.shape[0]:
+            wl = jnp.asarray(lower.min(0))
+            wu = jnp.asarray(upper.max(0))
+        else:
+            wl = jnp.zeros((3,), jnp.float32)
+            wu = jnp.zeros((3,), jnp.float32)
+
+        self.committed = CommittedScene(bvh=bvh, tris=tris,
+                                        world_lower=wl, world_upper=wu)
+        self.build_time_s = time.perf_counter() - t0
+        self._progress(1.0)
+        if self.device.state.verbose >= 2:
+            self.print_statistics()
+        return self.committed
+
+    def _progress(self, f: float) -> None:
+        """Progress-monitor cancellation (scene.cpp:871-879)."""
+        if self.progress_monitor is not None:
+            if not self.progress_monitor(f):
+                self.committed = None
+                self.device.raise_error(Error.CANCELLED, "build cancelled")
+
+    # --- queries ------------------------------------------------------------
+    def _require_commit(self) -> CommittedScene:
+        if self.committed is None:
+            self.device.raise_error(Error.INVALID_OPERATION, "scene not committed")
+        return self.committed
+
+    def intersect(self, rays: Rays) -> Hits:
+        """rtcIntersect1/K/stream analog (batched over all rays)."""
+        cs = self._require_commit()
+        return scene_intersect(cs, rays)
+
+    def occluded(self, rays: Rays) -> jnp.ndarray:
+        cs = self._require_commit()
+        return scene_occluded(cs, rays)
+
+    @property
+    def bounds(self):
+        cs = self._require_commit()
+        return np.asarray(cs.world_lower), np.asarray(cs.world_upper)
+
+    def print_statistics(self) -> None:
+        """Scene::printStatistics (scene.cpp:77-129) analog."""
+        cs = self._require_commit()
+        from ..build.bvh import sah_cost
+        print(f"embree_tpu scene: {len(self.geometries)} geometries, "
+              f"{cs.tris.num_prims} flattened triangles, "
+              f"{cs.bvh.num_nodes} BVH{cs.bvh.width} nodes, "
+              f"build {self.build_time_s * 1e3:.1f} ms")
+
+
+def scene_intersect(cs: CommittedScene, rays: Rays) -> Hits:
+    """Jittable functional entry; flattens the ray batch to 1D internally."""
+    shape = rays.batch_shape
+    flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
+                rays.tnear.reshape(-1), rays.tfar.reshape(-1))
+    hits = intersect_packet(cs.bvh, cs.tris, flat)
+    return Hits(
+        t=hits.t.reshape(shape),
+        u=hits.u.reshape(shape),
+        v=hits.v.reshape(shape),
+        ng=hits.ng.reshape(shape + (3,)),
+        prim_id=hits.prim_id.reshape(shape),
+        geom_id=hits.geom_id.reshape(shape),
+    )
+
+
+def scene_occluded(cs: CommittedScene, rays: Rays) -> jnp.ndarray:
+    shape = rays.batch_shape
+    flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
+                rays.tnear.reshape(-1), rays.tfar.reshape(-1))
+    return occluded_packet(cs.bvh, cs.tris, flat).reshape(shape)

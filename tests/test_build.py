@@ -1,0 +1,82 @@
+"""BVH builder structural invariants (verify.cpp build tests analog :1059)."""
+import numpy as np
+import pytest
+
+from embree_tpu.build.sah import BuildSettings, build_sah
+from embree_tpu.verify.fixtures import random_triangles, triangle_sphere
+from embree_tpu.scene.prims import prim_bounds_np
+
+
+def _tri_bounds(verts, idx):
+    v0, v1, v2 = verts[idx[:, 0]], verts[idx[:, 1]], verts[idx[:, 2]]
+    return prim_bounds_np(v0, v1, v2)
+
+
+def _validate(bvh, lower, upper):
+    """Recursively check: each prim referenced exactly once; child bounds
+    conservatively contain their prims; inner child refs well-formed."""
+    P = lower.shape[0]
+    seen = np.zeros(P, np.int32)
+    child = np.asarray(bvh.child)
+    count = np.asarray(bvh.count)
+    blo = np.asarray(bvh.lower)
+    bhi = np.asarray(bvh.upper)
+    order = np.asarray(bvh.prim_order)
+
+    stack = [0]
+    visited = set()
+    while stack:
+        n = stack.pop()
+        assert n not in visited, "cycle in BVH"
+        visited.add(n)
+        for c in range(child.shape[1]):
+            if count[n, c] < 0:
+                continue
+            if count[n, c] == 0:
+                assert 0 <= child[n, c] < child.shape[0]
+                stack.append(int(child[n, c]))
+            else:
+                s, k = int(child[n, c]), int(count[n, c])
+                prims = order[s:s + k]
+                seen[prims] += 1
+                assert np.all(blo[n, c] <= lower[prims].min(0) + 1e-5)
+                assert np.all(bhi[n, c] >= upper[prims].max(0) - 1e-5)
+    assert np.all(seen == 1), f"prim multiplicity wrong: {np.unique(seen)}"
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 64, 1000])
+def test_random_soup_invariants(rng, n):
+    verts, idx = random_triangles(rng, n)
+    lower, upper = _tri_bounds(verts, idx)
+    bvh = build_sah(lower, upper)
+    _validate(bvh, lower, upper)
+
+
+def test_sphere_invariants(rng):
+    verts, idx = triangle_sphere((0, 0, 0), 1.0, 24)
+    lower, upper = _tri_bounds(verts, idx)
+    bvh = build_sah(lower, upper)
+    _validate(bvh, lower, upper)
+
+
+def test_identical_prims(rng):
+    """Overlapping/identical prims must still build (verify.cpp:1093)."""
+    lower = np.zeros((64, 3), np.float32)
+    upper = np.ones((64, 3), np.float32)
+    bvh = build_sah(lower, upper)
+    _validate(bvh, lower, upper)
+
+
+def test_empty():
+    bvh = build_sah(np.zeros((0, 3)), np.zeros((0, 3)))
+    assert np.all(np.asarray(bvh.count) == -1)
+
+
+def test_wide_nodes_filled(rng):
+    verts, idx = random_triangles(rng, 500)
+    lower, upper = _tri_bounds(verts, idx)
+    bvh = build_sah(lower, upper, BuildSettings(branching_factor=4))
+    count = np.asarray(bvh.count)
+    valid_children = (count >= 0).sum(1)
+    # most wide nodes should have >2 children after collapse
+    assert valid_children.mean() > 2.5

@@ -35,14 +35,20 @@ def make_rays(org, dir, tnear=0.0, tfar=jnp.inf):
 
 
 class Hits(NamedTuple):
-    """Per-ray closest hit; miss <=> geom_id == INVALID_ID (ray.h RayHit)."""
+    """Per-ray closest hit; miss <=> geom_id == INVALID_ID (ray.h RayHit).
+
+    `gprim` is the internal *global* flattened-triangle index (the leaf
+    slot), used by the differentiable re-evaluation pass (diff/) to
+    recompute the hit analytically from the winning primitive.
+    """
 
     t: jnp.ndarray        # (...,) f32 hit distance (tfar after intersect)
     u: jnp.ndarray        # (...,) f32 barycentric/patch u
     v: jnp.ndarray        # (...,) f32
     ng: jnp.ndarray       # (..., 3) f32 unnormalized geometric normal
-    prim_id: jnp.ndarray  # (...,) i32
+    prim_id: jnp.ndarray  # (...,) i32 prim index within its geometry
     geom_id: jnp.ndarray  # (...,) i32
+    gprim: jnp.ndarray    # (...,) i32 global flattened prim index
 
     @property
     def valid(self):
@@ -57,4 +63,5 @@ def miss_hits(shape, tfar):
         ng=jnp.zeros(shape + (3,), jnp.float32),
         prim_id=jnp.full(shape, INVALID_ID, jnp.int32),
         geom_id=jnp.full(shape, INVALID_ID, jnp.int32),
+        gprim=jnp.full(shape, INVALID_ID, jnp.int32),
     )

@@ -1,0 +1,69 @@
+"""Differentiable hit evaluation.
+
+The differentiable-rendering core (SURVEY.md §7.6, BASELINE.json north
+star): BVH build and hit *selection* are discrete and wrapped in
+stop_gradient; the hit point itself is then re-evaluated analytically
+from the winning primitive so gradients flow from pixels to vertex
+positions (and later: displacement maps and materials) — the reference's
+`rtcInterpolate` derivative machinery (rtcore_geometry.h:234-338) defines
+which derivatives exist (P, dPdu, dPdv); here they come for free from
+jax.grad through the re-evaluation.
+
+Usage: `tris` must be built from the differentiable vertex arrays (the
+same jnp arrays the loss differentiates), while the BVH can be stale /
+stop-gradient — exactly embree's REFIT-vs-rebuild split.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import cross, dot
+from ..core.rayhit import Hits, Rays
+from ..scene.prims import TrianglePrims
+from ..scene.scene import CommittedScene, scene_intersect
+
+
+def reeval_hit(tris: TrianglePrims, rays: Rays, gprim, valid) -> Hits:
+    """Recompute (t, u, v, Ng, P) differentiably for the selected prim."""
+    p = jnp.maximum(gprim, 0)
+    v0 = tris.v0[p]
+    v1 = tris.v1[p]
+    v2 = tris.v2[p]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    ng = cross(e1, e2)  # == reference Ng = cross(e2', e1') with their edges
+    # solve ray/plane: t = dot(v0 - org, ng) / dot(dir, ng)
+    den = dot(rays.dir, ng)
+    den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+    t = dot(v0 - rays.org, ng) / den_safe
+    pt = rays.org + t[..., None] * rays.dir
+    # barycentrics via projection onto the dominant-normal plane-free form
+    w = pt - v0
+    d00 = dot(e1, e1); d01 = dot(e1, e2); d11 = dot(e2, e2)
+    d20 = dot(w, e1); d21 = dot(w, e2)
+    denom = d00 * d11 - d01 * d01
+    denom_safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+    u = (d11 * d20 - d01 * d21) / denom_safe
+    v = (d00 * d21 - d01 * d20) / denom_safe
+    flip = tris.uv_flip[p] == 1
+    u = jnp.where(flip, 1.0 - u, u)
+    v = jnp.where(flip, 1.0 - v, v)
+    z = jnp.zeros_like(t)
+    return Hits(
+        t=jnp.where(valid, t, rays.tfar),
+        u=jnp.where(valid, u, z),
+        v=jnp.where(valid, v, z),
+        ng=jnp.where(valid[..., None], ng, 0.0),
+        prim_id=jnp.where(valid, tris.prim_id[p], -1),
+        geom_id=jnp.where(valid, tris.geom_id[p], -1),
+        gprim=jnp.where(valid, gprim, -1),
+    )
+
+
+def intersect_diff(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hits:
+    """Closest-hit with gradients: discrete traversal under stop_gradient,
+    differentiable analytic re-evaluation on the selected primitive."""
+    sel = scene_intersect(jax.lax.stop_gradient(cs),
+                          jax.lax.stop_gradient(rays), isa=isa)
+    return reeval_hit(cs.tris, rays, sel.gprim, sel.valid)

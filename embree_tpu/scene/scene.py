@@ -31,7 +31,8 @@ from ..core.device import Device, Error
 from ..core.rayhit import Hits, Rays
 from ..scene.geometry import Geometry, QuadMesh, SubdivMesh, TriangleMesh
 from ..scene.prims import TrianglePrims, empty_triangle_prims, prim_bounds_np
-from ..traverse.packet import intersect_packet, occluded_packet
+from ..traverse.packet import (intersect_chunked, intersect_packet,
+                               occluded_chunked, occluded_packet)
 
 
 class BuildQuality(enum.IntEnum):
@@ -42,12 +43,16 @@ class BuildQuality(enum.IntEnum):
 
 
 class CommittedScene(NamedTuple):
-    """Immutable device-side scene (the Accel + leaf data)."""
+    """Immutable device-side scene (the Accel + leaf data).
+
+    `pallas` holds the VMEM-packed tables for the TPU traversal kernel
+    (None when the scene exceeds the VMEM budget or has no prims); the
+    XLA packet path always works and is the autodiff reference.
+    """
 
     bvh: BVH
     tris: TrianglePrims
-    # compressed-subdiv accel, populated when subdiv geometries exist
-    # (round-1: placeholder None slots keep the pytree stable)
+    pallas: object  # Optional[PallasScene]
     world_lower: jnp.ndarray  # (3,)
     world_upper: jnp.ndarray  # (3,)
 
@@ -161,6 +166,17 @@ class Scene:
         self._progress(0.9)
         bvh = bvh_np.to_device()
 
+        # pack the pallas (TPU kernel) accel when it fits the VMEM budget
+        pallas_scene = None
+        if lower.shape[0]:
+            from ..traverse.pallas_packet import pack_scene
+            ps = pack_scene(bvh, tris)
+            if ps.vmem_bytes <= 12 * 1024 * 1024:
+                pallas_scene = ps
+            elif self.device.state.verbose >= 1:
+                print(f"scene exceeds VMEM budget ({ps.vmem_bytes >> 20} MiB);"
+                      " pallas accel disabled, using XLA path")
+
         if lower.shape[0]:
             wl = jnp.asarray(lower.min(0))
             wu = jnp.asarray(upper.max(0))
@@ -168,7 +184,7 @@ class Scene:
             wl = jnp.zeros((3,), jnp.float32)
             wu = jnp.zeros((3,), jnp.float32)
 
-        self.committed = CommittedScene(bvh=bvh, tris=tris,
+        self.committed = CommittedScene(bvh=bvh, tris=tris, pallas=pallas_scene,
                                         world_lower=wl, world_upper=wu)
         self.build_time_s = time.perf_counter() - t0
         self._progress(1.0)
@@ -192,11 +208,11 @@ class Scene:
     def intersect(self, rays: Rays) -> Hits:
         """rtcIntersect1/K/stream analog (batched over all rays)."""
         cs = self._require_commit()
-        return scene_intersect(cs, rays)
+        return scene_intersect(cs, rays, isa=self.device.state.isa)
 
     def occluded(self, rays: Rays) -> jnp.ndarray:
         cs = self._require_commit()
-        return scene_occluded(cs, rays)
+        return scene_occluded(cs, rays, isa=self.device.state.isa)
 
     @property
     def bounds(self):
@@ -213,24 +229,48 @@ class Scene:
               f"build {self.build_time_s * 1e3:.1f} ms")
 
 
-def scene_intersect(cs: CommittedScene, rays: Rays) -> Hits:
-    """Jittable functional entry; flattens the ray batch to 1D internally."""
+def _use_pallas(cs: CommittedScene, isa: str) -> bool:
+    """Kernel-variant selection: the factory/ISA-dispatch analog
+    (bvh4_factory.cpp SELECT_SYMBOL_*). On TPU the pallas megakernel is
+    the production path; XLA while-loop traversal is the CPU/autodiff
+    reference (and catastrophically slow to compile on the axon stack)."""
+    if cs.pallas is None:
+        return False
+    if isa == "pallas":
+        return True
+    if isa == "xla":
+        return False
+    import jax
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hits:
+    """Functional entry; flattens the ray batch internally and dispatches
+    to the pallas or XLA traversal kernel."""
+    if _use_pallas(cs, isa):
+        from ..traverse.pallas_packet import intersect_pallas
+        return intersect_pallas(cs.pallas, cs.tris, rays,
+                                interpret=_pallas_interpret())
     shape = rays.batch_shape
     flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                 rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-    hits = intersect_packet(cs.bvh, cs.tris, flat)
-    return Hits(
-        t=hits.t.reshape(shape),
-        u=hits.u.reshape(shape),
-        v=hits.v.reshape(shape),
-        ng=hits.ng.reshape(shape + (3,)),
-        prim_id=hits.prim_id.reshape(shape),
-        geom_id=hits.geom_id.reshape(shape),
-    )
+    hits = intersect_chunked(cs.bvh, cs.tris, flat)
+    import jax
+    return jax.tree.map(
+        lambda x: x.reshape(shape + x.shape[1:]), hits)
 
 
-def scene_occluded(cs: CommittedScene, rays: Rays) -> jnp.ndarray:
+def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default") -> jnp.ndarray:
+    if _use_pallas(cs, isa):
+        from ..traverse.pallas_packet import occluded_pallas
+        return occluded_pallas(cs.pallas, rays, interpret=_pallas_interpret())
     shape = rays.batch_shape
     flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                 rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-    return occluded_packet(cs.bvh, cs.tris, flat).reshape(shape)
+    return occluded_chunked(cs.bvh, cs.tris, flat).reshape(shape)
+
+
+def _pallas_interpret() -> bool:
+    """Pallas kernels run in interpreter mode off-TPU (tests on CPU)."""
+    import jax
+    return jax.default_backend() not in ("tpu", "axon")

@@ -1,0 +1,369 @@
+"""Pallas TPU ray-packet traversal megakernel.
+
+The production TPU path for the shared-stack packet traversal in
+traverse/packet.py (which stays as the CPU / autodiff reference). Design,
+in hardware terms (see /opt/skills/guides/pallas_guide.md):
+
+  * A packet = 1024 rays laid out as one (8, 128) f32 VPU tile per
+    component. All per-ray state (t, prim) are (8, 128) tiles, so every
+    box / triangle test is a handful of full-width VPU ops.
+  * One node = one 128-lane f32 row:
+    [lo_x[4] lo_y[4] lo_z[4] hi_x[4] hi_y[4] hi_z[4] child[4] count[4]]
+    (child/count stored as exact small floats; exact below 2^24).
+    Triangles pack 10 per row [v0 v1 v2 pad]x10, pre-reordered into BVH
+    leaf order so leaves are contiguous (no prim_order indirection).
+  * Mosaic cannot scalar-load VMEM at dynamic lane offsets, so each pop
+    DMAs the node row VMEM->SMEM (~0.8us round trip measured on v5e) and
+    reads scalars from SMEM — the TPU expression of embree's cached node
+    fetch. Leaf hits DMA two triangle rows the same way. The traversal
+    stack is a scalar SMEM array (bvh_intersector1.cpp:73-127 analog).
+  * Children push via a 4-wide sorting network (distance-descending so
+    the nearest pops first) — branch-free traverseClosestHit
+    (bvh_traverser1.h).
+  * Per-packet ray-stat counters (pops, leaf tests) are emitted — the
+    STAT3 analog (kernels/common/stat.h:22-33).
+
+Grid = one program per packet; node/tri tables stay VMEM-resident across
+packets. Scenes must fit VMEM (~12 MB => ~180k tris); larger scenes fall
+back to the XLA path until the HBM-resident variant lands.
+
+NOTE (axon): while-loop trip bounds must be runtime values (SMEM input);
+constant bounds make Mosaic unroll and compile forever.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..build.bvh import BVH
+from ..core.rayhit import Hits, Rays
+from ..scene.prims import TrianglePrims
+from .packet import _finalize_hits
+
+RAYS_PER_PACKET = 1024          # (8, 128) f32 tile
+TILE = (8, 128)
+NT_PER_ROW = 10                 # tris per row (10 x 12 floats + 8 pad)
+MAX_LEAF = 8                    # builder max_leaf_size must stay <= 11
+STACK_DEPTH = 160
+ROBUST_MIN = np.float32(1.0 - 3.0 * 2.0 ** -23)
+ROBUST_MAX = np.float32(1.0 + 3.0 * 2.0 ** -23)
+INF = np.float32(np.inf)
+
+
+class PallasScene(NamedTuple):
+    """VMEM-packed accel produced at commit time."""
+
+    nodes: jnp.ndarray     # (M, 128) f32 node rows
+    tdata: jnp.ndarray     # (ceil(T/10)+1, 128) f32 rows, BVH leaf order
+    bvh_to_orig: jnp.ndarray  # (T,) i32: BVH-order slot -> original prim id
+    num_nodes: int
+    num_prims: int
+
+    @property
+    def vmem_bytes(self) -> int:
+        return 4 * 128 * (self.nodes.shape[0] + self.tdata.shape[0])
+
+
+def pack_scene(bvh: BVH, tris: TrianglePrims) -> PallasScene:
+    """Repack builder output into the kernel's 128-lane row layout."""
+    lower = np.asarray(bvh.lower)    # (M, 4, 3)
+    upper = np.asarray(bvh.upper)
+    child = np.asarray(bvh.child)    # (M, 4)
+    count = np.asarray(bvh.count)
+    order = np.asarray(bvh.prim_order)
+    M = lower.shape[0]
+
+    rows = np.zeros((M, 128), np.float32)
+    for a in range(3):
+        rows[:, 4 * a: 4 * a + 4] = lower[:, :, a]
+        rows[:, 12 + 4 * a: 12 + 4 * a + 4] = upper[:, :, a]
+    rows[:, 24:28] = child.astype(np.float32)
+    rows[:, 28:32] = count.astype(np.float32)
+
+    # triangles in BVH order, 10 per row, +1 pad row so a leaf's 2-row DMA
+    # never runs off the end
+    T = order.shape[0]
+    if T:
+        v0 = np.asarray(tris.v0)[order]
+        v1 = np.asarray(tris.v1)[order]
+        v2 = np.asarray(tris.v2)[order]
+    else:
+        v0 = v1 = v2 = np.zeros((0, 3), np.float32)
+    td = np.zeros((max(T, 1), 12), np.float32)
+    if T:
+        td[:, 0:3] = v0
+        td[:, 3:6] = v1
+        td[:, 6:9] = v2
+    nrow = -(-td.shape[0] // NT_PER_ROW)
+    pad_prims = nrow * NT_PER_ROW - td.shape[0]
+    td = np.concatenate([td, np.zeros((pad_prims, 12), np.float32)])
+    tdata = np.pad(td.reshape(nrow, NT_PER_ROW * 12),
+                   ((0, 1), (0, 128 - NT_PER_ROW * 12)))
+
+    return PallasScene(
+        nodes=jnp.asarray(rows),
+        tdata=jnp.asarray(tdata),
+        bvh_to_orig=jnp.asarray(order, jnp.int32),
+        num_nodes=M,
+        num_prims=T,
+    )
+
+
+def _rcp_safe(a):
+    return jnp.where(jnp.abs(a) < 1e-30, jnp.where(a < 0, -1e30, 1e30), 1.0 / a)
+
+
+def _traversal_kernel(occluded: bool):
+    """Builds the kernel body; occluded=True emits the any-hit variant
+    (occlusion encoded as t == -inf; early exit when every ray occluded)."""
+
+    def kernel(params, nodes, tdata,
+               ox, oy, oz, dx, dy, dz, tn, tf,
+               t_out, prim_out, stats_out,
+               stack, nrow, lbuf, nsem, lsem):
+        rdx = _rcp_safe(dx[:]); rdy = _rcp_safe(dy[:]); rdz = _rcp_safe(dz[:])
+        orx = ox[:] * rdx; ory = oy[:] * rdy; orz = oz[:] * rdz
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        tnear = tn[:]
+        max_pops = params[0]
+
+        stack[0] = jnp.int32(0)
+
+        def mt_leaf(start, cnt, t, prim):
+            """Moeller-Trumbore over cnt contiguous BVH-order prims
+            (triangle_intersector_moeller.h:80-113 semantics). Two tri
+            rows are DMA'd to SMEM before the scalar reads."""
+            row = start // NT_PER_ROW
+            ldma = pltpu.make_async_copy(tdata.at[pl.ds(row, 2)], lbuf, lsem)
+            ldma.start()
+            ldma.wait()
+
+            def body(i, carry):
+                t, prim = carry
+                p = start + i
+                rr = p // NT_PER_ROW - row
+                tc = (p % NT_PER_ROW) * 12
+                v0x = lbuf[rr, tc + 0]; v0y = lbuf[rr, tc + 1]; v0z = lbuf[rr, tc + 2]
+                v1x = lbuf[rr, tc + 3]; v1y = lbuf[rr, tc + 4]; v1z = lbuf[rr, tc + 5]
+                v2x = lbuf[rr, tc + 6]; v2y = lbuf[rr, tc + 7]; v2z = lbuf[rr, tc + 8]
+                e1x = v0x - v1x; e1y = v0y - v1y; e1z = v0z - v1z
+                e2x = v2x - v0x; e2y = v2y - v0y; e2z = v2z - v0z
+                ngx = e2y * e1z - e2z * e1y
+                ngy = e2z * e1x - e2x * e1z
+                ngz = e2x * e1y - e2y * e1x
+                cx = v0x - o_x; cy = v0y - o_y; cz = v0z - o_z
+                rx = cy * d_z - cz * d_y
+                ry = cz * d_x - cx * d_z
+                rz = cx * d_y - cy * d_x
+                den = ngx * d_x + ngy * d_y + ngz * d_z
+                absden = jnp.abs(den)
+                sgn = jnp.where(den >= 0.0, 1.0, -1.0)
+                u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
+                v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
+                t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
+                ok = (den != 0.0) & (u_s >= 0.0) & (v_s >= 0.0) \
+                    & (u_s + v_s <= absden) \
+                    & (absden * tnear < t_s) & (t_s <= absden * t)
+                if occluded:
+                    return jnp.where(ok, -INF, t), prim
+                t_hit = t_s / jnp.maximum(absden, 1e-37)
+                return jnp.where(ok, t_hit, t), jnp.where(ok, p, prim)
+
+            return jax.lax.fori_loop(0, jnp.minimum(cnt, MAX_LEAF), body,
+                                     (t, prim))
+
+        def step(carry):
+            sp, t, prim, pops, ltests = carry
+            sp = sp - 1
+            node = stack[sp]
+            ndma = pltpu.make_async_copy(nodes.at[node], nrow, nsem)
+            ndma.start()
+            ndma.wait()
+
+            keys, childs, counts, pushes = [], [], [], []
+            for c in range(4):
+                lox = nrow[0 + c]; loy = nrow[4 + c]; loz = nrow[8 + c]
+                hix = nrow[12 + c]; hiy = nrow[16 + c]; hiz = nrow[20 + c]
+                tx0 = lox * rdx - orx; tx1 = hix * rdx - orx
+                ty0 = loy * rdy - ory; ty1 = hiy * rdy - ory
+                tz0 = loz * rdz - orz; tz1 = hiz * rdz - orz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                               jnp.minimum(ty0, ty1)),
+                                   jnp.minimum(tz0, tz1)) * ROBUST_MIN
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                               jnp.maximum(ty0, ty1)),
+                                   jnp.maximum(tz0, tz1)) * ROBUST_MAX
+                tmin = jnp.maximum(tmin, tnear)
+                hitm = (tmin <= tmax) & (tmin <= t)
+                dist = jnp.min(jnp.where(hitm, tmin, INF))
+                any_hit = dist < INF
+
+                cc = nrow[24 + c].astype(jnp.int32)
+                cnt = nrow[28 + c].astype(jnp.int32)
+
+                is_leaf = any_hit & (cnt > 0)
+                t, prim = jax.lax.cond(
+                    is_leaf,
+                    lambda tp, cc=cc, cnt=cnt: mt_leaf(cc, cnt, *tp),
+                    lambda tp: tp, (t, prim))
+                ltests = ltests + jnp.where(is_leaf, cnt, 0)
+
+                push_c = any_hit & (cnt == 0)
+                keys.append(jnp.where(push_c, dist, -INF))
+                childs.append(cc)
+                pushes.append(push_c)
+
+            # 4-wide sorting network, descending key (farthest pushed
+            # first => nearest on top of the stack)
+            for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                swap = keys[i] < keys[j]
+                keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                                    jnp.where(swap, keys[i], keys[j]))
+                childs[i], childs[j] = (jnp.where(swap, childs[j], childs[i]),
+                                        jnp.where(swap, childs[i], childs[j]))
+                pushes[i], pushes[j] = (jnp.where(swap, pushes[j], pushes[i]),
+                                        jnp.where(swap, pushes[i], pushes[j]))
+            for k in range(4):
+                sp_k = sp
+
+                @pl.when(pushes[k])
+                def _(sp_k=sp_k, k=k):
+                    stack[sp_k] = childs[k]
+
+                sp = sp + pushes[k].astype(jnp.int32)
+
+            return sp, t, prim, pops + 1, ltests
+
+        if occluded:
+            def cond(carry):
+                sp, t = carry[0], carry[1]
+                live = jnp.max(t) > -INF
+                return (sp > 0) & live & (carry[3] < max_pops)
+        else:
+            def cond(carry):
+                return (carry[0] > 0) & (carry[3] < max_pops)
+
+        prim0 = jnp.full(TILE, -1, jnp.int32)
+        sp, t, prim, pops, ltests = jax.lax.while_loop(
+            cond, step,
+            (jnp.int32(1), tf[:], prim0, jnp.int32(0), jnp.int32(0)))
+
+        t_out[:] = t
+        prim_out[:] = prim
+        b = pl.program_id(0)
+        stats_out[b, 0] = pops
+        stats_out[b, 1] = ltests
+
+    return kernel
+
+
+_BLOCK_BUCKETS = (1, 4, 16, 64, 256, 1024, 4096)
+
+
+def _bucket_blocks(nb: int) -> int:
+    """Quantize packet count so only a handful of grid sizes ever compile
+    (each distinct grid is a separate — slow, remote — Mosaic compile on
+    axon). Padded packets cost ~1 pop each (tfar=-inf kills traversal)."""
+    for b in _BLOCK_BUCKETS:
+        if nb <= b:
+            return b
+    return -(-nb // _BLOCK_BUCKETS[-1]) * _BLOCK_BUCKETS[-1]
+
+
+def _ray_tiles(rays: Rays):
+    """Flatten + pad rays to (B*8, 128) per-component tiles."""
+    org = rays.org.reshape(-1, 3)
+    d = rays.dir.reshape(-1, 3)
+    tn = rays.tnear.reshape(-1)
+    tf = rays.tfar.reshape(-1)
+    R = tn.shape[0]
+    Rp = _bucket_blocks(-(-R // RAYS_PER_PACKET)) * RAYS_PER_PACKET
+    pad = Rp - R
+
+    def pc(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad,), fill, x.dtype)]).reshape(-1, 128)
+
+    tiles = (pc(org[:, 0], 0.0), pc(org[:, 1], 0.0), pc(org[:, 2], 0.0),
+             pc(d[:, 0], 1.0), pc(d[:, 1], 0.0), pc(d[:, 2], 0.0),
+             pc(tn, 0.0), pc(tf, -np.inf))
+    return tiles, R, Rp // RAYS_PER_PACKET
+
+
+def _pallas_call(occluded: bool, num_blocks: int, interpret: bool):
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _traversal_kernel(occluded),
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  table_spec, table_spec] + [ray_spec] * 8,
+        out_specs=(ray_spec, ray_spec,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blocks * 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((128,), jnp.float32),
+            pltpu.SMEM((2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "interpret"))
+def _run_intersect(ps: PallasScene, tiles, num_blocks: int, interpret=False):
+    params = jnp.asarray([262144], jnp.int32)
+    return _pallas_call(False, num_blocks, interpret)(
+        params, ps.nodes, ps.tdata, *tiles)
+
+
+@functools.partial(jax.jit, static_argnames=("num_blocks", "interpret"))
+def _run_occluded(ps: PallasScene, tiles, num_blocks: int, interpret=False):
+    params = jnp.asarray([262144], jnp.int32)
+    return _pallas_call(True, num_blocks, interpret)(
+        params, ps.nodes, ps.tdata, *tiles)
+
+
+def intersect_pallas(ps: PallasScene, tris: TrianglePrims, rays: Rays,
+                     interpret: bool = False) -> Hits:
+    """Closest hit via the pallas kernel; u/v/Ng finalized outside (the
+    differentiable hit re-evaluation)."""
+    tiles, R, nb = _ray_tiles(rays)
+    t_o, prim_o, _stats = _run_intersect(ps, tiles, nb, interpret)
+    t = t_o.reshape(-1)[:R]
+    prim_bvh = prim_o.reshape(-1)[:R]
+    prim = jnp.where(prim_bvh >= 0,
+                     ps.bvh_to_orig[jnp.maximum(prim_bvh, 0)], -1)
+    flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
+                rays.tnear.reshape(-1), rays.tfar.reshape(-1))
+    hits = _finalize_hits(tris, flat, t, prim)
+    shape = rays.batch_shape
+    return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hits)
+
+
+def occluded_pallas(ps: PallasScene, rays: Rays,
+                    interpret: bool = False) -> jnp.ndarray:
+    tiles, R, nb = _ray_tiles(rays)
+    t_o, _prim, _stats = _run_occluded(ps, tiles, nb, interpret)
+    occ = (t_o.reshape(-1)[:R] == -np.inf)
+    return occ.reshape(rays.batch_shape)
+
+
+def traversal_stats(ps: PallasScene, rays: Rays, interpret: bool = False):
+    """STAT3 analog: per-packet (pops, leaf_tests) counters."""
+    tiles, _R, nb = _ray_tiles(rays)
+    _t, _p, stats = _run_intersect(ps, tiles, nb, interpret)
+    return np.asarray(stats)

@@ -3,11 +3,20 @@ paths compile and execute without TPU hardware (SURVEY.md §4.4 analog of
 the reference's multi-thread commit-join stress tests)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize (tunneled TPU) registers its backend at
+# interpreter startup and forces jax_platforms="axon,cpu"; tests must run
+# on the host CPU (fast compiles, 8 virtual devices), so re-force cpu
+# before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

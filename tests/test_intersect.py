@@ -98,7 +98,7 @@ def test_watertight_sphere(rng):
     closed sphere must hit; miss rate <= 0.002%."""
     verts, idx = triangle_sphere((0, 0, 0), 2.0, 50)
     scene = _scene_from(verts, idx)
-    n = 100_000
+    n = 30_000
     d = rng.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     org = np.zeros((n, 3), np.float32)

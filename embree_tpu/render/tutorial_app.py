@@ -83,6 +83,7 @@ class TutorialApplication:
 
     def run(self, argv=None) -> int:
         args = self.parse(argv if argv is not None else sys.argv[1:])
+        self.args = args
         w, h = args.size
         state = self.build_scene(self)
         if args.benchmark:

@@ -52,7 +52,8 @@ class CommittedScene(NamedTuple):
 
     bvh: BVH
     tris: TrianglePrims
-    pallas: object  # Optional[PallasScene]
+    pallas: object      # Optional[PallasScene]
+    compressed: object  # Optional[CompressedAccel] (subdiv cBVH accel)
     world_lower: jnp.ndarray  # (3,)
     world_upper: jnp.ndarray  # (3,)
 
@@ -74,6 +75,7 @@ class Scene:
         self.committed: Optional[CommittedScene] = None
         self.progress_monitor: Optional[Callable[[float], bool]] = None
         self.build_time_s: float = 0.0
+        self.subdiv_eval = {}  # gid -> SubdivEval (compressed mode)
 
     # --- geometry management (scene.cpp:585-620 bind/detachGeometry) -------
     def attach(self, geom: Geometry) -> int:
@@ -96,6 +98,19 @@ class Scene:
             self.device.raise_error(Error.INVALID_ARGUMENT, "bad geomID")
         del self.geometries[geom_id]
 
+    def _subdiv_mode(self):
+        """createSubdivAccel mode select (scene.cpp:491-510): returns
+        'grid' | 'leaf' | 'box' | 'full' for the fork's compressed modes,
+        None for the stock eager path."""
+        acc = self.device.state.subdiv_accel
+        mapping = {
+            "bvh4.compressed.grid": "grid",
+            "bvh4.compressed.leaf": "leaf",
+            "bvh4.compressed.box": "box",
+            "bvh4.compressed.full": "full",
+        }
+        return mapping.get(acc)
+
     def set_levels(self, subdivision_level: int, compression_level: int) -> None:
         """Fork API rtcSetSceneLevels (rtcore.cpp:1469)."""
         self.subdivision_level = int(subdivision_level)
@@ -108,6 +123,7 @@ class Scene:
 
         tri_v0, tri_v1, tri_v2 = [], [], []
         tri_geom, tri_prim, tri_flip = [], [], []
+        subdiv_compressed = []
 
         for gid, g in sorted(self.geometries.items()):
             if not g.enabled:
@@ -133,16 +149,20 @@ class Scene:
                 tri_prim.append(np.concatenate([np.arange(n, dtype=np.int32)] * 2))
                 tri_flip.append(np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)]))
             elif isinstance(g, SubdivMesh):
-                # round-1 placeholder: subdiv handled by the compressed accel
-                # in subdiv/ + build/cbvh (wired in a later milestone); until
-                # then tessellate to triangles eagerly via the subdiv package.
-                from ..subdiv.api import tessellate_to_triangles
-                v0, v1, v2, prim = tessellate_to_triangles(
-                    g, self.subdivision_level)
-                tri_v0.append(v0); tri_v1.append(v1); tri_v2.append(v2)
-                tri_geom.append(np.full(v0.shape[0], gid, np.int32))
-                tri_prim.append(prim.astype(np.int32))
-                tri_flip.append(np.zeros(v0.shape[0], np.int32))
+                mode = self._subdiv_mode()
+                if mode is not None:
+                    subdiv_compressed.append((gid, g))
+                else:
+                    # stock path: eager uniform tessellation to triangles
+                    # (the BVHNSubdivPatch1EagerBuilderSAH analog,
+                    # bvh_builder_subdiv.cpp:48)
+                    from ..subdiv.api import tessellate_to_triangles
+                    v0, v1, v2, prim = tessellate_to_triangles(
+                        g, self.subdivision_level)
+                    tri_v0.append(v0); tri_v1.append(v1); tri_v2.append(v2)
+                    tri_geom.append(np.full(v0.shape[0], gid, np.int32))
+                    tri_prim.append(prim.astype(np.int32))
+                    tri_flip.append(np.zeros(v0.shape[0], np.int32))
             else:
                 raise NotImplementedError(type(g))
 
@@ -177,14 +197,30 @@ class Scene:
                 print(f"scene exceeds VMEM budget ({ps.vmem_bytes >> 20} MiB);"
                       " pallas accel disabled, using XLA path")
 
-        if lower.shape[0]:
-            wl = jnp.asarray(lower.min(0))
-            wu = jnp.asarray(upper.max(0))
+        # compressed subdiv accel (fork modes, scene.cpp:507-510)
+        compressed = None
+        self.subdiv_eval = {}
+        if subdiv_compressed:
+            from .subdiv_accel import build_compressed_accel
+            compressed, self.subdiv_eval, clo, chi = build_compressed_accel(
+                subdiv_compressed, self.subdivision_level,
+                self.compression_level, self._subdiv_mode())
+            if lower.shape[0]:
+                lo_all = np.minimum(lower.min(0), clo)
+                hi_all = np.maximum(upper.max(0), chi)
+            else:
+                lo_all, hi_all = clo, chi
+        elif lower.shape[0]:
+            lo_all, hi_all = lower.min(0), upper.max(0)
         else:
-            wl = jnp.zeros((3,), jnp.float32)
-            wu = jnp.zeros((3,), jnp.float32)
+            lo_all = np.zeros(3, np.float32)
+            hi_all = np.zeros(3, np.float32)
+
+        wl = jnp.asarray(lo_all.astype(np.float32))
+        wu = jnp.asarray(hi_all.astype(np.float32))
 
         self.committed = CommittedScene(bvh=bvh, tris=tris, pallas=pallas_scene,
+                                        compressed=compressed,
                                         world_lower=wl, world_upper=wu)
         self.build_time_s = time.perf_counter() - t0
         self._progress(1.0)
@@ -213,6 +249,18 @@ class Scene:
     def occluded(self, rays: Rays) -> jnp.ndarray:
         cs = self._require_commit()
         return scene_occluded(cs, rays, isa=self.device.state.isa)
+
+    def interpolate(self, geom_id: int, prim_id, u, v):
+        """rtcInterpolate analog: limit position + smooth normal at
+        (face, u, v) of a subdiv geometry (rtcore.cpp interpolate path;
+        used for smooth shading of compressed hits,
+        viewer_device.cpp:284-295)."""
+        from .subdiv_accel import interpolate_subdiv
+        ev = self.subdiv_eval.get(geom_id)
+        if ev is None:
+            self.device.raise_error(Error.INVALID_ARGUMENT,
+                                    f"geom {geom_id} has no eval data")
+        return interpolate_subdiv(ev, prim_id, u, v)
 
     @property
     def bounds(self):
@@ -245,29 +293,57 @@ def _use_pallas(cs: CommittedScene, isa: str) -> bool:
 
 
 def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hits:
-    """Functional entry; flattens the ray batch internally and dispatches
-    to the pallas or XLA traversal kernel."""
-    if _use_pallas(cs, isa):
-        from ..traverse.pallas_packet import intersect_pallas
-        return intersect_pallas(cs.pallas, cs.tris, rays,
-                                interpret=_pallas_interpret())
-    shape = rays.batch_shape
-    flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
-                rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-    hits = intersect_chunked(cs.bvh, cs.tris, flat)
+    """Functional entry: runs the triangle accel then (if present) the
+    compressed-subdiv accel, min-combining hits — the AccelN loop
+    (acceln.cpp:51)."""
     import jax
-    return jax.tree.map(
-        lambda x: x.reshape(shape + x.shape[1:]), hits)
+
+    shape = rays.batch_shape
+    if cs.tris.num_prims == 0:
+        from ..core.rayhit import miss_hits
+        hits = miss_hits(shape, rays.tfar)
+    elif _use_pallas(cs, isa):
+        from ..traverse.pallas_packet import intersect_pallas
+        hits = intersect_pallas(cs.pallas, cs.tris, rays,
+                                interpret=_pallas_interpret())
+    else:
+        flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
+                    rays.tnear.reshape(-1), rays.tfar.reshape(-1))
+        h = intersect_chunked(cs.bvh, cs.tris, flat)
+        hits = jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), h)
+
+    if cs.compressed is not None:
+        from ..traverse.cbvh import compressed_hits, intersect_compressed
+        st = intersect_compressed(cs.compressed, rays, t_in=hits.t)
+        ch = compressed_hits(cs.compressed, rays, st)
+        use_c = (st.tile >= 0).reshape(shape)
+        hits = Hits(
+            t=jnp.where(use_c, ch.t, hits.t),
+            u=jnp.where(use_c, ch.u, hits.u),
+            v=jnp.where(use_c, ch.v, hits.v),
+            ng=jnp.where(use_c[..., None], ch.ng, hits.ng),
+            prim_id=jnp.where(use_c, ch.prim_id, hits.prim_id),
+            geom_id=jnp.where(use_c, ch.geom_id, hits.geom_id),
+            gprim=jnp.where(use_c, ch.gprim, hits.gprim),
+        )
+    return hits
 
 
 def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default") -> jnp.ndarray:
-    if _use_pallas(cs, isa):
-        from ..traverse.pallas_packet import occluded_pallas
-        return occluded_pallas(cs.pallas, rays, interpret=_pallas_interpret())
     shape = rays.batch_shape
-    flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
-                rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-    return occluded_chunked(cs.bvh, cs.tris, flat).reshape(shape)
+    if cs.tris.num_prims == 0:
+        occ = jnp.zeros(shape, bool)
+    elif _use_pallas(cs, isa):
+        from ..traverse.pallas_packet import occluded_pallas
+        occ = occluded_pallas(cs.pallas, rays, interpret=_pallas_interpret())
+    else:
+        flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
+                    rays.tnear.reshape(-1), rays.tfar.reshape(-1))
+        occ = occluded_chunked(cs.bvh, cs.tris, flat).reshape(shape)
+    if cs.compressed is not None:
+        from ..traverse.cbvh import occluded_compressed
+        occ = occ | occluded_compressed(cs.compressed, rays)
+    return occ
 
 
 def _pallas_interpret() -> bool:

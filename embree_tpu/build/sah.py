@@ -267,12 +267,26 @@ def collapse_to_wide(child2, nlo2, nhi2, order, root_ref, leaf_mult,
 
 
 def build_sah(prim_lower: np.ndarray, prim_upper: np.ndarray,
-              settings: BuildSettings = BuildSettings()) -> BVHArraysNP:
-    """Full pipeline: binary SAH build + collapse to wide BVH."""
+              settings: BuildSettings = BuildSettings(),
+              backend: str = "default") -> BVHArraysNP:
+    """Full pipeline: binary SAH build + collapse to wide BVH.
+
+    backend: "default"/"native" prefer the C++ builder (~400x the numpy
+    frontier builder); "python" forces the numpy path (tests/fallback)."""
     prim_lower = np.asarray(prim_lower, np.float32)
     prim_upper = np.asarray(prim_upper, np.float32)
     if prim_lower.shape[0] == 0:
         return empty_bvh_np(settings.branching_factor)
+    if backend in ("default", "native"):
+        from .native import build_sah_native
+        out = build_sah_native(prim_lower, prim_upper,
+                               branching=settings.branching_factor,
+                               max_leaf=settings.max_leaf_size,
+                               min_leaf=settings.min_leaf_size)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native builder unavailable")
     child2, nlo2, nhi2, order, root_ref, leaf_mult = build_bvh2(
         prim_lower, prim_upper, settings)
     return collapse_to_wide(child2, nlo2, nhi2, order, root_ref, leaf_mult,

@@ -76,6 +76,9 @@ class State:
     ignore_config_files: bool = False
     hugepages: bool = False  # accepted, meaningless on TPU
 
+    # host builder selection: "default"/"native" (C++), "python" (numpy)
+    builder: str = "default"
+
     # TPU-specific additions
     packet_size: int = 1024          # rays per traversal packet (8x128 VPU tile)
     traversal_stack_depth: int = 64  # reference bvh.h:135-137 maxDepth guidance
@@ -123,7 +126,7 @@ class State:
         sizes = {"tessellation_cache_size"}
         floats = {"max_spatial_split_replications"}
         strs = {"isa", "tri_accel", "tri_accel_mb", "quad_accel", "hair_accel",
-                "object_accel", "subdiv_accel", "subdiv_accel_mb"}
+                "object_accel", "subdiv_accel", "subdiv_accel_mb", "builder"}
         if k in ints:
             setattr(self, k, int(v))
         elif k in bools:

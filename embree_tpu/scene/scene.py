@@ -54,6 +54,7 @@ class CommittedScene(NamedTuple):
     tris: TrianglePrims
     pallas: object      # Optional[PallasScene]
     compressed: object  # Optional[CompressedAccel] (subdiv cBVH accel)
+    compressed_pallas: object  # Optional[PallasCompressed] (TPU kernel pack)
     world_lower: jnp.ndarray  # (3,)
     world_upper: jnp.ndarray  # (3,)
 
@@ -182,7 +183,8 @@ class Scene:
 
         self._progress(0.3)
         settings = BuildSettings()
-        bvh_np = build_sah(lower, upper, settings)
+        bvh_np = build_sah(lower, upper, settings,
+                           backend=self.device.state.builder)
         self._progress(0.9)
         bvh = bvh_np.to_device()
 
@@ -199,12 +201,15 @@ class Scene:
 
         # compressed subdiv accel (fork modes, scene.cpp:507-510)
         compressed = None
+        compressed_pallas = None
         self.subdiv_eval = {}
         if subdiv_compressed:
             from .subdiv_accel import build_compressed_accel
             compressed, self.subdiv_eval, clo, chi = build_compressed_accel(
                 subdiv_compressed, self.subdivision_level,
                 self.compression_level, self._subdiv_mode())
+            from ..traverse.pallas_cbvh import pack_compressed
+            compressed_pallas = pack_compressed(compressed)
             if lower.shape[0]:
                 lo_all = np.minimum(lower.min(0), clo)
                 hi_all = np.maximum(upper.max(0), chi)
@@ -221,6 +226,7 @@ class Scene:
 
         self.committed = CommittedScene(bvh=bvh, tris=tris, pallas=pallas_scene,
                                         compressed=compressed,
+                                        compressed_pallas=compressed_pallas,
                                         world_lower=wl, world_upper=wu)
         self.build_time_s = time.perf_counter() - t0
         self._progress(1.0)
@@ -314,7 +320,13 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hit
 
     if cs.compressed is not None:
         from ..traverse.cbvh import compressed_hits, intersect_compressed
-        st = intersect_compressed(cs.compressed, rays, t_in=hits.t)
+        if _compressed_use_pallas(cs, isa):
+            from ..traverse.pallas_cbvh import intersect_compressed_pallas
+            st = intersect_compressed_pallas(cs.compressed_pallas, rays,
+                                             t_in=hits.t,
+                                             interpret=_pallas_interpret())
+        else:
+            st = intersect_compressed(cs.compressed, rays, t_in=hits.t)
         ch = compressed_hits(cs.compressed, rays, st)
         use_c = (st.tile >= 0).reshape(shape)
         hits = Hits(
@@ -341,9 +353,25 @@ def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default") -> jnp.
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
         occ = occluded_chunked(cs.bvh, cs.tris, flat).reshape(shape)
     if cs.compressed is not None:
-        from ..traverse.cbvh import occluded_compressed
-        occ = occ | occluded_compressed(cs.compressed, rays)
+        if _compressed_use_pallas(cs, isa):
+            from ..traverse.pallas_cbvh import occluded_compressed_pallas
+            occ = occ | occluded_compressed_pallas(
+                cs.compressed_pallas, rays, interpret=_pallas_interpret())
+        else:
+            from ..traverse.cbvh import occluded_compressed
+            occ = occ | occluded_compressed(cs.compressed, rays)
     return occ
+
+
+def _compressed_use_pallas(cs: CommittedScene, isa: str) -> bool:
+    if cs.compressed_pallas is None:
+        return False
+    if isa == "pallas":
+        return True
+    if isa == "xla":
+        return False
+    import jax
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _pallas_interpret() -> bool:

@@ -224,6 +224,7 @@ def _tile_intersect(tiles: CompressedTiles, ti, org, direction, tnear, state,
     def leaf_box(idx, blo, bhi, s: S):
         """'box' leaf: the reconstructed box is the surface (:614-656)."""
         tmin, tmax = _slab(blo, bhi, org_t, dir_t, robust=True)
+        tmin = jnp.maximum(tmin, 0.0)  # projected TravRay has tnear=0
         hit = (tmin <= tmax) & (tmin <= s.tloc) & alive
         mx, my = _cell_xy(idx)
         dim = jnp.maximum(bhi - blo, 1e-30)
@@ -237,6 +238,7 @@ def _tile_intersect(tiles: CompressedTiles, ti, org, direction, tnear, state,
     def leaf_pizza(idx, blo, bhi, s: S):
         """'leaf' pizza-box (:541-590 + intersect_patch)."""
         tmin, tmax = _slab(blo, bhi, org_t, dir_t, robust=True)
+        tmin = jnp.maximum(tmin, 0.0)
         box_ok = (tmin <= tmax) & (tmin <= s.tloc) & alive
         dimz = bhi[2] - blo[2]
         ext = tiles.extent[ti]

@@ -20,7 +20,9 @@ Quick start::
 from .core.config import State
 from .core.device import Device, Error, RaytracerError
 from .core.rayhit import Hits, INVALID_ID, Rays, make_rays, miss_hits
-from .scene.geometry import Geometry, QuadMesh, SubdivMesh, TriangleMesh
+from .scene.curves import BezierCurves, LineSegments
+from .scene.geometry import (Geometry, Instance, QuadMesh, SubdivMesh,
+                             TriangleMesh, UserGeometry)
 from .scene.scene import (BuildQuality, CommittedScene, Scene, scene_intersect,
                           scene_occluded)
 
@@ -29,7 +31,8 @@ __version__ = "0.1.0"
 __all__ = [
     "State", "Device", "Error", "RaytracerError",
     "Rays", "Hits", "make_rays", "miss_hits", "INVALID_ID",
-    "Geometry", "TriangleMesh", "QuadMesh", "SubdivMesh",
+    "Geometry", "TriangleMesh", "QuadMesh", "SubdivMesh", "Instance",
+    "UserGeometry", "LineSegments", "BezierCurves",
     "Scene", "BuildQuality", "CommittedScene",
     "scene_intersect", "scene_occluded",
 ]

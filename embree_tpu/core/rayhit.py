@@ -49,6 +49,7 @@ class Hits(NamedTuple):
     prim_id: jnp.ndarray  # (...,) i32 prim index within its geometry
     geom_id: jnp.ndarray  # (...,) i32
     gprim: jnp.ndarray    # (...,) i32 global flattened prim index
+    inst_id: jnp.ndarray  # (...,) i32 instance id (-1 = top level)
 
     @property
     def valid(self):
@@ -64,4 +65,5 @@ def miss_hits(shape, tfar):
         prim_id=jnp.full(shape, INVALID_ID, jnp.int32),
         geom_id=jnp.full(shape, INVALID_ID, jnp.int32),
         gprim=jnp.full(shape, INVALID_ID, jnp.int32),
+        inst_id=jnp.full(shape, INVALID_ID, jnp.int32),
     )

@@ -58,6 +58,7 @@ def reeval_hit(tris: TrianglePrims, rays: Rays, gprim, valid) -> Hits:
         prim_id=jnp.where(valid, tris.prim_id[p], -1),
         geom_id=jnp.where(valid, tris.geom_id[p], -1),
         gprim=jnp.where(valid, gprim, -1),
+        inst_id=jnp.full(t.shape, -1, jnp.int32),
     )
 
 

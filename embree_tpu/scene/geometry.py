@@ -91,3 +91,44 @@ class SubdivMesh(Geometry):
     @property
     def num_prims(self) -> int:
         return int(self.face_counts.shape[0])
+
+
+class Instance(Geometry):
+    """RTC_GEOMETRY_TYPE_INSTANCE (scene_instance.{h,cpp}): places a
+    committed child Scene under an affine transform. Rays are transformed
+    into instance space at traversal (instance_intersector.{h,cpp});
+    hit distances are preserved (directions stay unnormalized)."""
+
+    def __init__(self, child_scene, transform):
+        super().__init__()
+        self.child_scene = child_scene
+        t = np.asarray(transform, np.float32)
+        if t.shape == (4, 4):
+            t = t[:3, :]
+        assert t.shape == (3, 4)
+        self.transform = t  # local -> world
+
+    @property
+    def num_prims(self) -> int:
+        return 1
+
+
+class UserGeometry(Geometry):
+    """RTC_GEOMETRY_TYPE_USER (scene_user_geometry + object_intersector):
+    callback-based bounds/intersect. The C callback ABI becomes a pair of
+    jax-traceable functions:
+
+        bounds_fn(prim_ids (N,)) -> (lower (N,3), upper (N,3))
+        intersect_fn(prim_id scalar, rays: Rays, tfar (R,))
+            -> (valid (R,), t (R,), u (R,), v (R,), ng (R,3))
+    """
+
+    def __init__(self, num_prims, bounds_fn, intersect_fn):
+        super().__init__()
+        self._num = int(num_prims)
+        self.bounds_fn = bounds_fn
+        self.intersect_fn = intersect_fn
+
+    @property
+    def num_prims(self) -> int:
+        return self._num

@@ -29,7 +29,9 @@ from ..build.bvh import BVH
 from ..build.sah import BuildSettings, build_sah
 from ..core.device import Device, Error
 from ..core.rayhit import Hits, Rays
-from ..scene.geometry import Geometry, QuadMesh, SubdivMesh, TriangleMesh
+from ..scene.geometry import (Geometry, Instance, QuadMesh, SubdivMesh,
+                              TriangleMesh, UserGeometry)
+from ..scene.curves import BezierCurves, LineSegments
 from ..scene.prims import TrianglePrims, empty_triangle_prims, prim_bounds_np
 from ..traverse.packet import (intersect_chunked, intersect_packet,
                                occluded_chunked, occluded_packet)
@@ -42,21 +44,59 @@ class BuildQuality(enum.IntEnum):
     REFIT = 3
 
 
-class CommittedScene(NamedTuple):
+class InstanceEntry(NamedTuple):
+    """One committed instance (scene_instance analog)."""
+
+    inst_id: jnp.ndarray       # scalar i32
+    child: object              # CommittedScene
+    local2world: jnp.ndarray   # (3, 4)
+    world2local: jnp.ndarray   # (3, 4)
+
+
+import jax as _jax
+
+
+@_jax.tree_util.register_pytree_node_class
+class CommittedScene:
     """Immutable device-side scene (the Accel + leaf data).
 
     `pallas` holds the VMEM-packed tables for the TPU traversal kernel
     (None when the scene exceeds the VMEM budget or has no prims); the
     XLA packet path always works and is the autodiff reference.
+    `instances` are nested committed scenes under transforms; `users`
+    (STATIC aux: python callbacks) are user-geometry accels.
     """
 
-    bvh: BVH
-    tris: TrianglePrims
-    pallas: object      # Optional[PallasScene]
-    compressed: object  # Optional[CompressedAccel] (subdiv cBVH accel)
-    compressed_pallas: object  # Optional[PallasCompressed] (TPU kernel pack)
-    world_lower: jnp.ndarray  # (3,)
-    world_upper: jnp.ndarray  # (3,)
+    _CHILDREN = ("bvh", "tris", "pallas", "compressed", "compressed_pallas",
+                 "instances", "user_bvhs", "world_lower", "world_upper")
+
+    def __init__(self, bvh, tris, pallas, compressed, compressed_pallas,
+                 world_lower, world_upper, instances=(), user_bvhs=(),
+                 users=()):
+        self.bvh = bvh
+        self.tris = tris
+        self.pallas = pallas
+        self.compressed = compressed
+        self.compressed_pallas = compressed_pallas
+        self.instances = tuple(instances)   # tuple[InstanceEntry]
+        self.user_bvhs = tuple(user_bvhs)   # tuple[BVH] (one per user geom)
+        self.users = tuple(users)           # STATIC: (geom_id, nprims, fn)
+        self.world_lower = world_lower
+        self.world_upper = world_upper
+
+    def _replace(self, **kw):
+        d = {k: getattr(self, k) for k in self._CHILDREN}
+        d["users"] = self.users
+        d.update(kw)
+        return CommittedScene(**d)
+
+    def tree_flatten(self):
+        return ([getattr(self, k) for k in self._CHILDREN], self.users)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kw = dict(zip(cls._CHILDREN, children))
+        return cls(users=aux, **kw)
 
 
 def _as_np_f32(a):
@@ -125,6 +165,9 @@ class Scene:
         tri_v0, tri_v1, tri_v2 = [], [], []
         tri_geom, tri_prim, tri_flip = [], [], []
         subdiv_compressed = []
+        instances = []
+        users = []
+        user_bvhs = []
 
         for gid, g in sorted(self.geometries.items()):
             if not g.enabled:
@@ -164,6 +207,40 @@ class Scene:
                     tri_geom.append(np.full(v0.shape[0], gid, np.int32))
                     tri_prim.append(prim.astype(np.int32))
                     tri_flip.append(np.zeros(v0.shape[0], np.int32))
+            elif isinstance(g, Instance):
+                child_cs = g.child_scene.committed
+                if child_cs is None:
+                    child_cs = g.child_scene.commit()
+                l2w = np.asarray(g.transform, np.float32)
+                lin = l2w[:, :3]
+                inv = np.linalg.inv(lin)
+                w2l = np.concatenate([inv, (-inv @ l2w[:, 3:])], axis=1)
+                instances.append(InstanceEntry(
+                    inst_id=jnp.int32(gid),
+                    child=child_cs,
+                    local2world=jnp.asarray(l2w),
+                    world2local=jnp.asarray(w2l.astype(np.float32))))
+            elif isinstance(g, UserGeometry):
+                ids = np.arange(g.num_prims, dtype=np.int64)
+                blo, bhi = g.bounds_fn(ids)
+                ub = build_sah(np.asarray(blo, np.float32),
+                               np.asarray(bhi, np.float32),
+                               BuildSettings(),
+                               backend=self.device.state.builder)
+                user_bvhs.append(ub.to_device())
+                users.append((gid, g.num_prims, g.intersect_fn, None))
+            elif isinstance(g, (LineSegments, BezierCurves)):
+                # curves ride the callback-accel machinery over tessellated
+                # round segments (scene/curves.py)
+                from .curves import make_segment_intersector, segment_bounds
+                p0, p1, prim, u0, du = g.to_segments()
+                blo, bhi = segment_bounds(p0, p1)
+                ub = build_sah(blo, bhi, BuildSettings(),
+                               backend=self.device.state.builder)
+                user_bvhs.append(ub.to_device())
+                fn, prim_map = make_segment_intersector(p0, p1, prim, u0, du)
+                users.append((gid, p0.shape[0], fn,
+                              (lambda pm: (lambda p: pm[jnp.maximum(p, 0)]))(prim_map)))
             else:
                 raise NotImplementedError(type(g))
 
@@ -227,7 +304,10 @@ class Scene:
         self.committed = CommittedScene(bvh=bvh, tris=tris, pallas=pallas_scene,
                                         compressed=compressed,
                                         compressed_pallas=compressed_pallas,
-                                        world_lower=wl, world_upper=wu)
+                                        world_lower=wl, world_upper=wu,
+                                        instances=tuple(instances),
+                                        user_bvhs=tuple(user_bvhs),
+                                        users=tuple(users))
         self.build_time_s = time.perf_counter() - t0
         self._progress(1.0)
         if self.device.state.verbose >= 2:
@@ -337,6 +417,48 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hit
             prim_id=jnp.where(use_c, ch.prim_id, hits.prim_id),
             geom_id=jnp.where(use_c, ch.geom_id, hits.geom_id),
             gprim=jnp.where(use_c, ch.gprim, hits.gprim),
+            inst_id=jnp.where(use_c, ch.inst_id, hits.inst_id),
+        )
+
+    # user-geometry + curve accels (object_intersector / line_intersector)
+    for i, (gid, nprims, fn, prim_map) in enumerate(cs.users):
+        from ..traverse.user import UserAccel, intersect_user
+        t, u, v, ng, prim, hitm = intersect_user(
+            UserAccel(cs.user_bvhs[i], gid, nprims), fn, rays, hits.t)
+        if prim_map is not None:
+            prim = jnp.where(prim >= 0, prim_map(prim), prim)
+        use = hitm.reshape(shape)
+        hits = Hits(
+            t=jnp.where(use, t.reshape(shape), hits.t),
+            u=jnp.where(use, u.reshape(shape), hits.u),
+            v=jnp.where(use, v.reshape(shape), hits.v),
+            ng=jnp.where(use[..., None], ng.reshape(shape + (3,)), hits.ng),
+            prim_id=jnp.where(use, prim.reshape(shape), hits.prim_id),
+            geom_id=jnp.where(use, gid, hits.geom_id),
+            gprim=jnp.where(use, -1, hits.gprim),
+            inst_id=jnp.where(use, -1, hits.inst_id),
+        )
+
+    # instances: transform rays into instance space, recurse, min-combine
+    # (AccelN over TransformNodes; instance_intersector.{h,cpp})
+    for inst in cs.instances:
+        w2l = inst.world2local
+        lorg = rays.org @ w2l[:, :3].T + w2l[:, 3]
+        ldir = rays.dir @ w2l[:, :3].T
+        h = scene_intersect(inst.child,
+                            Rays(lorg, ldir, rays.tnear, hits.t), isa=isa)
+        use = h.valid & (h.t < hits.t)
+        # normals transform by (L^-1)^T == w2l_lin^T (row form: ng @ w2l_lin)
+        ng_w = h.ng @ w2l[:, :3]
+        hits = Hits(
+            t=jnp.where(use, h.t, hits.t),
+            u=jnp.where(use, h.u, hits.u),
+            v=jnp.where(use, h.v, hits.v),
+            ng=jnp.where(use[..., None], ng_w, hits.ng),
+            prim_id=jnp.where(use, h.prim_id, hits.prim_id),
+            geom_id=jnp.where(use, h.geom_id, hits.geom_id),
+            gprim=jnp.where(use, h.gprim, hits.gprim),
+            inst_id=jnp.where(use, inst.inst_id, hits.inst_id),
         )
     return hits
 
@@ -360,6 +482,21 @@ def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default") -> jnp.
         else:
             from ..traverse.cbvh import occluded_compressed
             occ = occ | occluded_compressed(cs.compressed, rays)
+
+    for i, (gid, nprims, fn, _pm) in enumerate(cs.users):
+        from ..traverse.user import UserAccel, intersect_user
+        _t, _u, _v, _ng, _p, hitm = intersect_user(
+            UserAccel(cs.user_bvhs[i], gid, nprims), fn, rays,
+            rays.tfar)
+        occ = occ | hitm.reshape(shape)
+
+    for inst in cs.instances:
+        w2l = inst.world2local
+        lorg = rays.org @ w2l[:, :3].T + w2l[:, 3]
+        ldir = rays.dir @ w2l[:, :3].T
+        occ = occ | scene_occluded(
+            inst.child, Rays(lorg, ldir, rays.tnear,
+                             jnp.where(occ, rays.tnear, rays.tfar)), isa=isa)
     return occ
 
 

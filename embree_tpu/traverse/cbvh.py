@@ -509,6 +509,7 @@ def compressed_hits(accel: CompressedAccel, rays: Rays, st: _CHit) -> Hits:
         prim_id=jnp.where(valid, accel.tiles.prim_id[ti], -1).reshape(shape),
         geom_id=jnp.where(valid, accel.tiles.geom_id[ti], -1).reshape(shape),
         gprim=jnp.full(shape, -1, jnp.int32),
+        inst_id=jnp.full(shape, -1, jnp.int32),
     )
 
 

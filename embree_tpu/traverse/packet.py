@@ -181,6 +181,7 @@ def _finalize_hits(tris: TrianglePrims, rays: Rays, t, prim) -> Hits:
         prim_id=jnp.where(valid, tris.prim_id[p], -1),
         geom_id=jnp.where(valid, tris.geom_id[p], -1),
         gprim=jnp.where(valid, p, -1),
+        inst_id=jnp.full(valid.shape, -1, jnp.int32),
     )
 
 

@@ -34,13 +34,12 @@ def main() -> int:
     rays = et.make_rays(org, d)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu and cs.pallas is not None:
-        from embree_tpu.traverse.pallas_packet import _ray_tiles, _run_intersect
-        tiles, _r, nb = _ray_tiles(rays)
-        tiles = jax.block_until_ready(tiles)
-        run = lambda: _run_intersect(cs.pallas, tiles, nb)
-    else:
-        run = lambda: et.scene_intersect(cs, rays, isa="xla")
+    isa = "default" if (on_tpu and cs.pallas is not None) else "xla"
+    # one fused program (sort + pallas kernel + finalize): the first-ever
+    # compile on the axon stack is slow but server-cached; steady state
+    # is a single dispatch per frame.
+    f = jax.jit(lambda c, r: et.scene_intersect(c, r, isa=isa).t)
+    run = lambda: f(cs, rays)
 
     jax.block_until_ready(run())  # warmup/compile
     reps = 16

@@ -22,7 +22,7 @@ from .core.device import Device, Error, RaytracerError
 from .core.rayhit import Hits, INVALID_ID, Rays, make_rays, miss_hits
 from .scene.curves import BezierCurves, LineSegments
 from .scene.geometry import (Geometry, Instance, QuadMesh, SubdivMesh,
-                             TriangleMesh, UserGeometry)
+                             TriangleMesh, TriangleMeshMB, UserGeometry)
 from .scene.scene import (BuildQuality, CommittedScene, Scene, scene_intersect,
                           scene_occluded)
 
@@ -32,7 +32,7 @@ __all__ = [
     "State", "Device", "Error", "RaytracerError",
     "Rays", "Hits", "make_rays", "miss_hits", "INVALID_ID",
     "Geometry", "TriangleMesh", "QuadMesh", "SubdivMesh", "Instance",
-    "UserGeometry", "LineSegments", "BezierCurves",
+    "UserGeometry", "LineSegments", "BezierCurves", "TriangleMeshMB",
     "Scene", "BuildQuality", "CommittedScene",
     "scene_intersect", "scene_occluded",
 ]

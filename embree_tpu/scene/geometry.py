@@ -132,3 +132,18 @@ class UserGeometry(Geometry):
     @property
     def num_prims(self) -> int:
         return self._num
+
+
+class TriangleMeshMB(Geometry):
+    """Two-timestep motion-blur triangle mesh (RTC_GEOMETRY_TYPE_TRIANGLE
+    with 2 vertex timesteps; scene_triangle_mesh MB variants)."""
+
+    def __init__(self, vertices_begin, vertices_end, indices):
+        super().__init__()
+        self.vertices_begin = vertices_begin
+        self.vertices_end = vertices_end
+        self.indices = np.asarray(indices, np.int32)
+
+    @property
+    def num_prims(self) -> int:
+        return int(self.indices.shape[0])

@@ -30,7 +30,7 @@ from ..build.sah import BuildSettings, build_sah
 from ..core.device import Device, Error
 from ..core.rayhit import Hits, Rays
 from ..scene.geometry import (Geometry, Instance, QuadMesh, SubdivMesh,
-                              TriangleMesh, UserGeometry)
+                              TriangleMesh, TriangleMeshMB, UserGeometry)
 from ..scene.curves import BezierCurves, LineSegments
 from ..scene.prims import TrianglePrims, empty_triangle_prims, prim_bounds_np
 from ..traverse.packet import (intersect_chunked, intersect_packet,
@@ -68,11 +68,11 @@ class CommittedScene:
     """
 
     _CHILDREN = ("bvh", "tris", "pallas", "compressed", "compressed_pallas",
-                 "instances", "user_bvhs", "world_lower", "world_upper")
+                 "instances", "user_bvhs", "mb", "world_lower", "world_upper")
 
     def __init__(self, bvh, tris, pallas, compressed, compressed_pallas,
                  world_lower, world_upper, instances=(), user_bvhs=(),
-                 users=()):
+                 users=(), mb=None):
         self.bvh = bvh
         self.tris = tris
         self.pallas = pallas
@@ -81,6 +81,7 @@ class CommittedScene:
         self.instances = tuple(instances)   # tuple[InstanceEntry]
         self.user_bvhs = tuple(user_bvhs)   # tuple[BVH] (one per user geom)
         self.users = tuple(users)           # STATIC: (geom_id, nprims, fn)
+        self.mb = mb                        # Optional[MBAccel]
         self.world_lower = world_lower
         self.world_upper = world_upper
 
@@ -168,6 +169,7 @@ class Scene:
         instances = []
         users = []
         user_bvhs = []
+        mb_geoms = []
 
         for gid, g in sorted(self.geometries.items()):
             if not g.enabled:
@@ -207,6 +209,8 @@ class Scene:
                     tri_geom.append(np.full(v0.shape[0], gid, np.int32))
                     tri_prim.append(prim.astype(np.int32))
                     tri_flip.append(np.zeros(v0.shape[0], np.int32))
+            elif isinstance(g, TriangleMeshMB):
+                mb_geoms.append((gid, g))
             elif isinstance(g, Instance):
                 child_cs = g.child_scene.committed
                 if child_cs is None:
@@ -301,18 +305,55 @@ class Scene:
         wl = jnp.asarray(lo_all.astype(np.float32))
         wu = jnp.asarray(hi_all.astype(np.float32))
 
+        # motion-blur accel (dual-timestep refit bounds; traverse/mb.py)
+        mb = None
+        if mb_geoms:
+            mb = self._build_mb(mb_geoms)
+
         self.committed = CommittedScene(bvh=bvh, tris=tris, pallas=pallas_scene,
                                         compressed=compressed,
                                         compressed_pallas=compressed_pallas,
                                         world_lower=wl, world_upper=wu,
                                         instances=tuple(instances),
                                         user_bvhs=tuple(user_bvhs),
-                                        users=tuple(users))
+                                        users=tuple(users), mb=mb)
         self.build_time_s = time.perf_counter() - t0
         self._progress(1.0)
         if self.device.state.verbose >= 2:
             self.print_statistics()
         return self.committed
+
+    def _build_mb(self, mb_geoms):
+        from ..build.refit import plan_refit, refit
+        from ..traverse.mb import MBAccel
+        v00, v10, v20, v01, v11, v21 = [], [], [], [], [], []
+        geoms, prims = [], []
+        for gid, g in mb_geoms:
+            a = _as_np_f32(g.vertices_begin)
+            b = _as_np_f32(g.vertices_end)
+            idx = g.indices
+            v00.append(a[idx[:, 0]]); v10.append(a[idx[:, 1]]); v20.append(a[idx[:, 2]])
+            v01.append(b[idx[:, 0]]); v11.append(b[idx[:, 1]]); v21.append(b[idx[:, 2]])
+            geoms.append(np.full(idx.shape[0], gid, np.int32))
+            prims.append(np.arange(idx.shape[0], dtype=np.int32))
+        v00 = np.concatenate(v00); v10 = np.concatenate(v10); v20 = np.concatenate(v20)
+        v01 = np.concatenate(v01); v11 = np.concatenate(v11); v21 = np.concatenate(v21)
+        geom = np.concatenate(geoms); prim = np.concatenate(prims)
+        lo0, hi0 = prim_bounds_np(v00, v10, v20)
+        lo1, hi1 = prim_bounds_np(v01, v11, v21)
+        bvh_np = build_sah(np.minimum(lo0, lo1), np.maximum(hi0, hi1),
+                           BuildSettings(), backend=self.device.state.builder)
+        bvh_u = bvh_np.to_device()
+        sched = plan_refit(bvh_u)
+        bvh0 = refit(bvh_u, sched, jnp.asarray(lo0), jnp.asarray(hi0))
+        bvh1 = refit(bvh_u, sched, jnp.asarray(lo1), jnp.asarray(hi1))
+        flip = np.zeros(v00.shape[0], np.int32)
+        t0 = TrianglePrims(jnp.asarray(v00), jnp.asarray(v10), jnp.asarray(v20),
+                           jnp.asarray(geom), jnp.asarray(prim), jnp.asarray(flip))
+        t1 = TrianglePrims(jnp.asarray(v01), jnp.asarray(v11), jnp.asarray(v21),
+                           jnp.asarray(geom), jnp.asarray(prim), jnp.asarray(flip))
+        return MBAccel(bvh=bvh0, lower1=bvh1.lower, upper1=bvh1.upper,
+                       tris0=t0, tris1=t1)
 
     def _progress(self, f: float) -> None:
         """Progress-monitor cancellation (scene.cpp:871-879)."""
@@ -327,10 +368,12 @@ class Scene:
             self.device.raise_error(Error.INVALID_OPERATION, "scene not committed")
         return self.committed
 
-    def intersect(self, rays: Rays) -> Hits:
-        """rtcIntersect1/K/stream analog (batched over all rays)."""
+    def intersect(self, rays: Rays, time=None) -> Hits:
+        """rtcIntersect1/K/stream analog (batched over all rays). `time`
+        in [0,1] samples motion-blur geometry (ray.time analog)."""
         cs = self._require_commit()
-        return scene_intersect(cs, rays, isa=self.device.state.isa)
+        return scene_intersect(cs, rays, isa=self.device.state.isa,
+                               time=time)
 
     def occluded(self, rays: Rays) -> jnp.ndarray:
         cs = self._require_commit()
@@ -378,13 +421,26 @@ def _use_pallas(cs: CommittedScene, isa: str) -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hits:
+def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
+                    _sorted: bool = False, time=None) -> Hits:
     """Functional entry: runs the triangle accel then (if present) the
     compressed-subdiv accel, min-combining hits — the AccelN loop
-    (acceln.cpp:51)."""
+    (acceln.cpp:51). Large batches on the pallas path are stream-sorted
+    by (octant, origin-morton) first (the reference's stream filters) —
+    coherent packets visit far fewer nodes."""
     import jax
 
     shape = rays.batch_shape
+    R = int(np.prod(shape)) if shape else 1
+    if (not _sorted and R >= 8192
+            and (_use_pallas(cs, isa) or _compressed_use_pallas(cs, isa))):
+        from ..traverse.stream import sort_rays
+        flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
+                    rays.tnear.reshape(-1), rays.tfar.reshape(-1))
+        srays, inv = sort_rays(flat, cs.world_lower, cs.world_upper)
+        hits = scene_intersect(cs, srays, isa=isa, _sorted=True, time=time)
+        return jax.tree.map(
+            lambda x: x[inv].reshape(shape + x.shape[1:]), hits)
     if cs.tris.num_prims == 0:
         from ..core.rayhit import miss_hits
         hits = miss_hits(shape, rays.tfar)
@@ -419,6 +475,18 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hit
             gprim=jnp.where(use_c, ch.gprim, hits.gprim),
             inst_id=jnp.where(use_c, ch.inst_id, hits.inst_id),
         )
+
+    # motion-blur accel at the ray time (MB intersectors)
+    if cs.mb is not None:
+        from ..traverse.mb import intersect_mb
+        tmv = 0.0 if time is None else time
+        hmb = intersect_mb(cs.mb, Rays(rays.org, rays.dir, rays.tnear,
+                                       hits.t), tmv)
+        use_m = hmb.valid
+        hits = jax.tree.map(
+            lambda a, b: jnp.where(
+                use_m.reshape(use_m.shape + (1,) * (a.ndim - use_m.ndim)),
+                a, b), hmb, hits)
 
     # user-geometry + curve accels (object_intersector / line_intersector)
     for i, (gid, nprims, fn, prim_map) in enumerate(cs.users):
@@ -463,8 +531,19 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hit
     return hits
 
 
-def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default") -> jnp.ndarray:
+def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
+                   _sorted: bool = False) -> jnp.ndarray:
     shape = rays.batch_shape
+    R = int(np.prod(shape)) if shape else 1
+    if (not _sorted and R >= 8192
+            and (_use_pallas(cs, isa) or _compressed_use_pallas(cs, isa))):
+        import jax
+        from ..traverse.stream import sort_rays
+        flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
+                    rays.tnear.reshape(-1), rays.tfar.reshape(-1))
+        srays, inv = sort_rays(flat, cs.world_lower, cs.world_upper)
+        occ = scene_occluded(cs, srays, isa=isa, _sorted=True)
+        return occ[inv].reshape(shape)
     if cs.tris.num_prims == 0:
         occ = jnp.zeros(shape, bool)
     elif _use_pallas(cs, isa):

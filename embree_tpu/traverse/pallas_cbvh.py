@@ -676,7 +676,7 @@ def intersect_compressed_pallas(pc: PallasCompressed, rays, t_in=None,
     if t_in is not None:
         rays = Rays(rays.org, rays.dir, rays.tnear,
                     t_in.reshape(rays.tnear.shape))
-    tiles_in, R, nb = _ray_tiles(rays)
+    tiles_in, R, nb = _ray_tiles(rays, 8)
     t_o, u_o, v_o, tile_o, _stats = _run(pc, tiles_in, nb, pc.mode,
                                          pc.comp_level, interpret)
     t = t_o.reshape(-1)[:R]
@@ -772,6 +772,6 @@ def _run_occl(pc: PallasCompressed, tiles_in, num_blocks: int,
 
 def occluded_compressed_pallas(pc: PallasCompressed, rays,
                                interpret: bool = False):
-    tiles_in, R, nb = _ray_tiles(rays)
+    tiles_in, R, nb = _ray_tiles(rays, 8)
     occ = _run_occl(pc, tiles_in, nb, interpret)
     return (occ.reshape(-1)[:R] != 0).reshape(rays.batch_shape)

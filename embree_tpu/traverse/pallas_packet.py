@@ -46,8 +46,8 @@ from ..core.rayhit import Hits, Rays
 from ..scene.prims import TrianglePrims
 from .packet import _finalize_hits
 
-RAYS_PER_PACKET = 1024          # (8, 128) f32 tile
-TILE = (8, 128)
+DEFAULT_SUB = 32                # sublanes per packet tile (rays = SUB*128)
+TILE = (8, 128)                 # legacy alias (pallas_cbvh uses its own)
 NT_PER_ROW = 10                 # tris per row (10 x 12 floats + 8 pad)
 MAX_LEAF = 8                    # builder max_leaf_size must stay <= 11
 STACK_DEPTH = 160
@@ -119,9 +119,13 @@ def _rcp_safe(a):
     return jnp.where(jnp.abs(a) < 1e-30, jnp.where(a < 0, -1e30, 1e30), 1.0 / a)
 
 
-def _traversal_kernel(occluded: bool):
+def _traversal_kernel(occluded: bool, sub: int = DEFAULT_SUB):
     """Builds the kernel body; occluded=True emits the any-hit variant
-    (occlusion encoded as t == -inf; early exit when every ray occluded)."""
+    (occlusion encoded as t == -inf; early exit when every ray occluded).
+    Node-row DMAs are double-buffered: while a node is processed, the next
+    stack top's row is already in flight (hides the ~0.8us VMEM->SMEM
+    round trip measured on v5e)."""
+    tile = (sub, 128)
 
     def kernel(params, nodes, tdata,
                ox, oy, oz, dx, dy, dz, tn, tf,
@@ -134,7 +138,9 @@ def _traversal_kernel(occluded: bool):
         tnear = tn[:]
         max_pops = params[0]
 
-        stack[0] = jnp.int32(0)
+        def node_dma(slot, node):
+            return pltpu.make_async_copy(nodes.at[node], nrow.at[slot],
+                                         nsem.at[slot])
 
         def mt_leaf(start, cnt, t, prim):
             """Moeller-Trumbore over cnt contiguous BVH-order prims
@@ -180,17 +186,16 @@ def _traversal_kernel(occluded: bool):
                                      (t, prim))
 
         def step(carry):
-            sp, t, prim, pops, ltests = carry
-            sp = sp - 1
-            node = stack[sp]
-            ndma = pltpu.make_async_copy(nodes.at[node], nrow, nsem)
-            ndma.start()
-            ndma.wait()
+            # invariant: `cur` was already popped and its row DMA (slot =
+            # pops % 2) is in flight; the stack holds sp further entries.
+            sp, t, prim, pops, ltests, cur = carry
+            slot = pops % 2
+            node_dma(slot, cur).wait()
 
             keys, childs, counts, pushes = [], [], [], []
             for c in range(4):
-                lox = nrow[0 + c]; loy = nrow[4 + c]; loz = nrow[8 + c]
-                hix = nrow[12 + c]; hiy = nrow[16 + c]; hiz = nrow[20 + c]
+                lox = nrow[slot, 0 + c]; loy = nrow[slot, 4 + c]; loz = nrow[slot, 8 + c]
+                hix = nrow[slot, 12 + c]; hiy = nrow[slot, 16 + c]; hiz = nrow[slot, 20 + c]
                 tx0 = lox * rdx - orx; tx1 = hix * rdx - orx
                 ty0 = loy * rdy - ory; ty1 = hiy * rdy - ory
                 tz0 = loz * rdz - orz; tz1 = hiz * rdz - orz
@@ -205,8 +210,8 @@ def _traversal_kernel(occluded: bool):
                 dist = jnp.min(jnp.where(hitm, tmin, INF))
                 any_hit = dist < INF
 
-                cc = nrow[24 + c].astype(jnp.int32)
-                cnt = nrow[28 + c].astype(jnp.int32)
+                cc = nrow[slot, 24 + c].astype(jnp.int32)
+                cnt = nrow[slot, 28 + c].astype(jnp.int32)
 
                 is_leaf = any_hit & (cnt > 0)
                 t, prim = jax.lax.cond(
@@ -239,21 +244,31 @@ def _traversal_kernel(occluded: bool):
 
                 sp = sp + pushes[k].astype(jnp.int32)
 
-            return sp, t, prim, pops + 1, ltests
+            # pop the next node NOW and prefetch its row into the other slot
+            nxt = jnp.where(sp > 0, stack[jnp.maximum(sp - 1, 0)], -1)
+            node_dma(1 - slot, jnp.maximum(nxt, 0)).start()
+            sp = jnp.maximum(sp - 1, 0)
+
+            return sp, t, prim, pops + 1, ltests, nxt
 
         if occluded:
             def cond(carry):
-                sp, t = carry[0], carry[1]
+                t = carry[1]
                 live = jnp.max(t) > -INF
-                return (sp > 0) & live & (carry[3] < max_pops)
+                return (carry[5] >= 0) & live & (carry[3] < max_pops)
         else:
             def cond(carry):
-                return (carry[0] > 0) & (carry[3] < max_pops)
+                return (carry[5] >= 0) & (carry[3] < max_pops)
 
-        prim0 = jnp.full(TILE, -1, jnp.int32)
-        sp, t, prim, pops, ltests = jax.lax.while_loop(
+        prim0 = jnp.full(tile, -1, jnp.int32)
+        node_dma(0, 0).start()  # warmup: root row
+        sp, t, prim, pops, ltests, _cur = jax.lax.while_loop(
             cond, step,
-            (jnp.int32(1), tf[:], prim0, jnp.int32(0), jnp.int32(0)))
+            (jnp.int32(0), tf[:], prim0, jnp.int32(0), jnp.int32(0),
+             jnp.int32(0)))
+        # drain the last prefetch (one start per iteration + warmup, one
+        # wait per iteration -> exactly one outstanding here)
+        node_dma(pops % 2, 0).wait()
 
         t_out[:] = t
         prim_out[:] = prim
@@ -277,14 +292,15 @@ def _bucket_blocks(nb: int) -> int:
     return -(-nb // _BLOCK_BUCKETS[-1]) * _BLOCK_BUCKETS[-1]
 
 
-def _ray_tiles(rays: Rays):
-    """Flatten + pad rays to (B*8, 128) per-component tiles."""
+def _ray_tiles(rays: Rays, sub: int = DEFAULT_SUB):
+    """Flatten + pad rays to (B*sub, 128) per-component tiles."""
+    rpp = sub * 128
     org = rays.org.reshape(-1, 3)
     d = rays.dir.reshape(-1, 3)
     tn = rays.tnear.reshape(-1)
     tf = rays.tfar.reshape(-1)
     R = tn.shape[0]
-    Rp = _bucket_blocks(-(-R // RAYS_PER_PACKET)) * RAYS_PER_PACKET
+    Rp = _bucket_blocks(-(-R // rpp)) * rpp
     pad = Rp - R
 
     def pc(x, fill):
@@ -294,55 +310,57 @@ def _ray_tiles(rays: Rays):
     tiles = (pc(org[:, 0], 0.0), pc(org[:, 1], 0.0), pc(org[:, 2], 0.0),
              pc(d[:, 0], 1.0), pc(d[:, 1], 0.0), pc(d[:, 2], 0.0),
              pc(tn, 0.0), pc(tf, -np.inf))
-    return tiles, R, Rp // RAYS_PER_PACKET
+    return tiles, R, Rp // rpp
 
 
-def _pallas_call(occluded: bool, num_blocks: int, interpret: bool):
+def _pallas_call(occluded: bool, num_blocks: int, interpret: bool,
+                 sub: int = DEFAULT_SUB):
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tile = (sub, 128)
+    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _traversal_kernel(occluded),
+        _traversal_kernel(occluded, sub),
         grid=(num_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   table_spec, table_spec] + [ray_spec] * 8,
         out_specs=(ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
-            jax.ShapeDtypeStruct((num_blocks * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.int32),
             jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((128,), jnp.float32),
             pltpu.SMEM((2, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_blocks", "interpret"))
-def _run_intersect(ps: PallasScene, tiles, num_blocks: int, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("num_blocks", "interpret", "sub"))
+def _run_intersect(ps: PallasScene, tiles, num_blocks: int, interpret=False,
+                   sub: int = DEFAULT_SUB):
     params = jnp.asarray([262144], jnp.int32)
-    return _pallas_call(False, num_blocks, interpret)(
+    return _pallas_call(False, num_blocks, interpret, sub)(
         params, ps.nodes, ps.tdata, *tiles)
 
 
-@functools.partial(jax.jit, static_argnames=("num_blocks", "interpret"))
-def _run_occluded(ps: PallasScene, tiles, num_blocks: int, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("num_blocks", "interpret", "sub"))
+def _run_occluded(ps: PallasScene, tiles, num_blocks: int, interpret=False,
+                  sub: int = DEFAULT_SUB):
     params = jnp.asarray([262144], jnp.int32)
-    return _pallas_call(True, num_blocks, interpret)(
+    return _pallas_call(True, num_blocks, interpret, sub)(
         params, ps.nodes, ps.tdata, *tiles)
 
 
-def intersect_pallas(ps: PallasScene, tris: TrianglePrims, rays: Rays,
-                     interpret: bool = False) -> Hits:
-    """Closest hit via the pallas kernel; u/v/Ng finalized outside (the
-    differentiable hit re-evaluation)."""
-    tiles, R, nb = _ray_tiles(rays)
-    t_o, prim_o, _stats = _run_intersect(ps, tiles, nb, interpret)
+@functools.partial(jax.jit, static_argnames=("R",))
+def _finalize_pallas(ps, tris, rays, t_o, prim_o, R: int):
     t = t_o.reshape(-1)[:R]
     prim_bvh = prim_o.reshape(-1)[:R]
     prim = jnp.where(prim_bvh >= 0,
@@ -354,16 +372,26 @@ def intersect_pallas(ps: PallasScene, tris: TrianglePrims, rays: Rays,
     return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), hits)
 
 
+def intersect_pallas(ps: PallasScene, tris: TrianglePrims, rays: Rays,
+                     interpret: bool = False) -> Hits:
+    """Closest hit via the pallas kernel; u/v/Ng finalized outside (the
+    differentiable hit re-evaluation)."""
+    tiles, R, nb = _ray_tiles(rays, DEFAULT_SUB)
+    t_o, prim_o, _stats = _run_intersect(ps, tiles, nb, interpret,
+                                         DEFAULT_SUB)
+    return _finalize_pallas(ps, tris, rays, t_o, prim_o, R)
+
+
 def occluded_pallas(ps: PallasScene, rays: Rays,
                     interpret: bool = False) -> jnp.ndarray:
-    tiles, R, nb = _ray_tiles(rays)
-    t_o, _prim, _stats = _run_occluded(ps, tiles, nb, interpret)
+    tiles, R, nb = _ray_tiles(rays, DEFAULT_SUB)
+    t_o, _prim, _stats = _run_occluded(ps, tiles, nb, interpret, DEFAULT_SUB)
     occ = (t_o.reshape(-1)[:R] == -np.inf)
     return occ.reshape(rays.batch_shape)
 
 
 def traversal_stats(ps: PallasScene, rays: Rays, interpret: bool = False):
     """STAT3 analog: per-packet (pops, leaf_tests) counters."""
-    tiles, _R, nb = _ray_tiles(rays)
-    _t, _p, stats = _run_intersect(ps, tiles, nb, interpret)
+    tiles, _R, nb = _ray_tiles(rays, DEFAULT_SUB)
+    _t, _p, stats = _run_intersect(ps, tiles, nb, interpret, DEFAULT_SUB)
     return np.asarray(stats)

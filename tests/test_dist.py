@@ -1,0 +1,85 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §2.7 distributed design; BASELINE.md scaling contract)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import embree_tpu as et
+from embree_tpu.diff.hit import intersect_diff
+from embree_tpu.dist.sharding import (make_mesh, make_sharded_train_step,
+                                      shard_rays, sharded_intersect)
+from embree_tpu.verify.fixtures import triangle_sphere
+
+
+@pytest.fixture(scope="module")
+def scene():
+    verts, idx = triangle_sphere((0, 0, 0), 1.0, 24)
+    dev = et.Device("ignore_config_files=1")
+    s = et.Scene(dev)
+    s.attach(et.TriangleMesh(verts, idx))
+    s.commit()
+    return s
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_intersect_matches_single(scene, rng):
+    cs = scene.committed
+    mesh = make_mesh(8)
+    n = 1024
+    org = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    rays = et.make_rays(org, d)
+
+    ref = et.scene_intersect(cs, rays, isa="xla")
+    srays, r = shard_rays(rays, mesh)
+    got = sharded_intersect(cs, srays, mesh, isa="xla")
+    got = jax.tree.map(lambda x: x[:r], got)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-6)
+
+
+def test_sharded_train_step_descends(scene, rng):
+    """Full DP train step: loss decreases and grads agree with the
+    unsharded computation (the >=85%-efficiency machinery's correctness
+    side)."""
+    cs = scene.committed
+    mesh = make_mesh(8)
+    verts0 = jnp.asarray(np.asarray(cs.tris.v0))
+
+    def loss_fn(scale, rays, target):
+        tris = cs.tris._replace(v0=cs.tris.v0 * scale,
+                                v1=cs.tris.v1 * scale,
+                                v2=cs.tris.v2 * scale)
+        cs2 = cs._replace(tris=tris)
+        h = intersect_diff(cs2, rays, isa="xla")
+        return jnp.sum(jnp.where(h.valid, (h.t - target) ** 2, 0.0))
+
+    step = make_sharded_train_step(mesh, loss_fn)
+
+    n = 512
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = et.make_rays(np.zeros((n, 3), np.float32), d)
+    srays, _ = shard_rays(rays, mesh)
+    target = jnp.full(srays.tnear.shape, 0.9)  # want radius 0.9, start 1.0
+
+    scale = jnp.float32(1.0)
+    losses = []
+    for _ in range(5):
+        loss, scale = step(scale, srays, target, lr=2e-4)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9
+    assert 0.88 < float(scale) < 1.0  # moving toward 0.9
+
+    # grads equal the unsharded value (psum correctness)
+    flat = et.Rays(srays.org, srays.dir, srays.tnear, srays.tfar)
+    l_ref, g_ref = jax.value_and_grad(loss_fn)(
+        jnp.float32(1.0), flat, target)
+    l_sh, _ = step(jnp.float32(1.0), srays, target, lr=0.0)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)

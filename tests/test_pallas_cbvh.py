@@ -11,12 +11,12 @@ def _scene(mode):
     dev = et.Device(f"ignore_config_files=1,subdiv_accel=bvh4.compressed.{mode}")
     s = et.Scene(dev)
     s.attach(et.SubdivMesh(verts, counts, indices))
-    s.set_levels(3, 2)
+    s.set_levels(2, 2)
     s.commit()
     return s
 
 
-def _rays(rng, n=64):
+def _rays(rng, n=48):
     org = rng.normal(size=(n, 3)).astype(np.float32)
     org = org / np.linalg.norm(org, axis=1, keepdims=True) * 4.0
     d = -org / 4.0 + rng.normal(size=(n, 3)).astype(np.float32) * 0.05

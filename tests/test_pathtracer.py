@@ -18,13 +18,13 @@ from embree_tpu.render.tutorials import pathtracer as pt
 def test_cornell_render_statistics():
     state = pt.build_cornell_scene()
     cam = Camera(from_=(0.5, 0.5, 2.4), to=(0.5, 0.5, 0.0), fov=40)
-    img, _ = pt.render_frame(state, cam, (48, 48), spp=4)
+    img, _ = pt.render_frame(state, cam, (40, 40), spp=2)
     img = np.asarray(img)
     assert np.isfinite(img).all() and (img >= 0).all()
     assert 0.02 < img.mean() < 1.0
     # color bleeding: left region red-dominant, right green-dominant
-    left = img[20:28, 2:7].mean((0, 1))
-    right = img[20:28, 41:46].mean((0, 1))
+    left = img[16:24, 2:6].mean((0, 1))
+    right = img[16:24, 34:38].mean((0, 1))
     assert left[0] > left[1] > left[2]
     assert right[1] > right[0]
 
@@ -32,9 +32,9 @@ def test_cornell_render_statistics():
 def test_pathtracer_deterministic_per_seed():
     state = pt.build_cornell_scene()
     cam = Camera(from_=(0.5, 0.5, 2.4), to=(0.5, 0.5, 0.0), fov=40)
-    a, _ = pt.render_frame(state, cam, (16, 16), spp=1, seed=0)
-    b, _ = pt.render_frame(state, cam, (16, 16), spp=1, seed=0)
-    c, _ = pt.render_frame(state, cam, (16, 16), spp=1, seed=1)
+    a, _ = pt.render_frame(state, cam, (8, 8), spp=1, seed=0)
+    b, _ = pt.render_frame(state, cam, (8, 8), spp=1, seed=0)
+    c, _ = pt.render_frame(state, cam, (8, 8), spp=1, seed=1)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.abs(np.asarray(a) - np.asarray(c)).max() > 0
 

@@ -39,11 +39,11 @@ def test_displacement_modes_similar():
     """leaf-mode image close to the eager-tessellation image (the paper's
     approximation-quality claim, image-space gate)."""
     cam = Camera(from_=(2.5, 2.5, 2.5), to=(0, 0, 0))
-    img_ref, _ = dg.render_frame(dg.build_scene(None, 4, 2), cam, (64, 64))
+    img_ref, _ = dg.render_frame(dg.build_scene(None, 4, 2), cam, (48, 48))
     img_leaf, _ = dg.render_frame(
-        dg.build_scene("bvh4.compressed.leaf", 4, 2), cam, (64, 64))
+        dg.build_scene("bvh4.compressed.leaf", 4, 2), cam, (48, 48))
     img_grid, _ = dg.render_frame(
-        dg.build_scene("bvh4.compressed.grid", 4, 2), cam, (64, 64))
+        dg.build_scene("bvh4.compressed.grid", 4, 2), cam, (48, 48))
     ref, leaf, grid = map(np.asarray, (img_ref, img_leaf, img_grid))
     # grid mode nearly identical except shading normals on compressed hits
     diff_pix = (np.abs(grid - ref).max(-1) > 0.15).mean()

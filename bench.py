@@ -1,11 +1,17 @@
 """Driver benchmark: prints ONE JSON line.
 
-Metric: incoherent-ray closest-hit traversal throughput (Mray/s) on one
-chip via the pallas packet megakernel — the BASELINE.md "Mrays/s/chip,
-incoherent paths" axis (forward; fwd+bwd lands with the diff renderer
-bench). Baseline constant: 10 Mray/s, an embree-class single-core CPU
-incoherent-traversal figure (the reference publishes no stored numbers —
-BASELINE.md), so vs_baseline = value / 10.
+Metric: incoherent-ray forward+backward throughput (Mray/s) on one chip —
+the BASELINE.md "Mrays/s/chip, forward+backward, incoherent paths" axis.
+Forward = pallas packet megakernel over stream-sorted rays; backward =
+jax.grad through the differentiable hit re-evaluation (pixel -> vertex
+gradients), with hit selection under stop_gradient (diff/hit.py).
+
+Baseline constant: 10 Mray/s, an embree-class single-core CPU incoherent
+figure (the reference publishes no stored numbers — BASELINE.md), so
+vs_baseline = value / 10.
+
+NOTE (axon): the fused jit program's FIRST-ever compile takes minutes on
+the remote compiler but is server-cached; steady state is one dispatch.
 """
 import json
 import sys
@@ -16,8 +22,11 @@ import numpy as np
 
 def main() -> int:
     import jax
+    import jax.numpy as jnp
 
     import embree_tpu as et
+    from embree_tpu.diff.hit import reeval_hit
+    from embree_tpu.scene.scene import scene_intersect
     from embree_tpu.verify.fixtures import triangle_sphere
 
     rng = np.random.default_rng(0xBE7C4)
@@ -35,23 +44,35 @@ def main() -> int:
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     isa = "default" if (on_tpu and cs.pallas is not None) else "xla"
-    # one fused program (sort + pallas kernel + finalize): the first-ever
-    # compile on the axon stack is slow but server-cached; steady state
-    # is a single dispatch per frame.
-    f = jax.jit(lambda c, r: et.scene_intersect(c, r, isa=isa).t)
-    run = lambda: f(cs, rays)
 
-    jax.block_until_ready(run())  # warmup/compile
+    idxj = jnp.asarray(idx)
+
+    def loss_fn(vertices, c, r):
+        # rebuild differentiable leaf data from the parameter vertices;
+        # BVH structure + hit selection stay stop-gradient
+        tris = c.tris._replace(v0=vertices[idxj[:, 0]],
+                               v1=vertices[idxj[:, 1]],
+                               v2=vertices[idxj[:, 2]])
+        c2 = c._replace(tris=tris)
+        sel = jax.lax.stop_gradient(scene_intersect(c, r, isa=isa))
+        h = reeval_hit(c2.tris, r, sel.gprim, sel.valid)
+        return jnp.sum(jnp.where(h.valid, h.t, 0.0))
+
+    f = jax.jit(jax.value_and_grad(loss_fn))
+    vparam = jnp.asarray(verts)
+
+    out = jax.block_until_ready(f(vparam, cs, rays))  # warmup/compile
+    assert np.isfinite(float(out[0]))
     reps = 16
     t0 = time.perf_counter()
-    outs = [run() for _ in range(reps)]
+    outs = [f(vparam, cs, rays) for _ in range(reps)]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     mrayps = reps * n / dt / 1e6
 
     baseline = 10.0
     print(json.dumps({
-        "metric": "incoherent_intersect_mrayps",
+        "metric": "incoherent_fwdbwd_mrayps",
         "value": round(mrayps, 3),
         "unit": "Mray/s",
         "vs_baseline": round(mrayps / baseline, 3),

@@ -41,7 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..build.cbvh import (TABLE_BORDER, TABLE_MID, TABLE_Z, CompressedTiles,
                           morton2_decode)
 from .cbvh import CompressedAccel, _CHit
-from .pallas_packet import TILE, _ray_tiles, _rcp_safe
+from .pallas_packet import _ray_tiles, _rcp_safe
+
+CSUB = 32
+TILE = (CSUB, 128)
 
 ROBUST_MIN = np.float32(1.0 - 3.0 * 2.0 ** -23)
 ROBUST_MAX = np.float32(1.0 + 3.0 * 2.0 ** -23)
@@ -644,10 +647,10 @@ def _run(pc: PallasCompressed, tiles_in, num_blocks: int, mode: str, cl: int,
         out_specs=(ray_spec, ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
-            jax.ShapeDtypeStruct((num_blocks * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((num_blocks * CSUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * CSUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * CSUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * CSUB, 128), jnp.int32),
             jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
         ),
         scratch_shapes=[
@@ -676,7 +679,7 @@ def intersect_compressed_pallas(pc: PallasCompressed, rays, t_in=None,
     if t_in is not None:
         rays = Rays(rays.org, rays.dir, rays.tnear,
                     t_in.reshape(rays.tnear.shape))
-    tiles_in, R, nb = _ray_tiles(rays, 8)
+    tiles_in, R, nb = _ray_tiles(rays, CSUB)
     t_o, u_o, v_o, tile_o, _stats = _run(pc, tiles_in, nb, pc.mode,
                                          pc.comp_level, interpret)
     t = t_o.reshape(-1)[:R]
@@ -760,7 +763,7 @@ def _run_occl(pc: PallasCompressed, tiles_in, num_blocks: int,
         grid=(num_blocks,),
         in_specs=[smem_spec, table_spec] + [ray_spec] * 8,
         out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((num_blocks * 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * CSUB, 128), jnp.int32),
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((128,), jnp.float32),
@@ -772,6 +775,6 @@ def _run_occl(pc: PallasCompressed, tiles_in, num_blocks: int,
 
 def occluded_compressed_pallas(pc: PallasCompressed, rays,
                                interpret: bool = False):
-    tiles_in, R, nb = _ray_tiles(rays, 8)
+    tiles_in, R, nb = _ray_tiles(rays, CSUB)
     occ = _run_occl(pc, tiles_in, nb, interpret)
     return (occ.reshape(-1)[:R] != 0).reshape(rays.batch_shape)

@@ -118,6 +118,9 @@ class Scene:
         self.progress_monitor: Optional[Callable[[float], bool]] = None
         self.build_time_s: float = 0.0
         self.subdiv_eval = {}  # gid -> SubdivEval (compressed mode)
+        # intersection-filter callback (rtcSetGeometryIntersectFilterFunction
+        # analog, scene-level): fn(org, dir, t, u, v, ng, geom, prim) -> keep
+        self.intersection_filter = None
 
     # --- geometry management (scene.cpp:585-620 bind/detachGeometry) -------
     def attach(self, geom: Geometry) -> int:
@@ -269,16 +272,12 @@ class Scene:
         self._progress(0.9)
         bvh = bvh_np.to_device()
 
-        # pack the pallas (TPU kernel) accel when it fits the VMEM budget
+        # pack the pallas (TPU kernel) accel; big scenes keep their
+        # tables in HBM (row DMAs reach both memory spaces)
         pallas_scene = None
         if lower.shape[0]:
             from ..traverse.pallas_packet import pack_scene
-            ps = pack_scene(bvh, tris)
-            if ps.vmem_bytes <= 12 * 1024 * 1024:
-                pallas_scene = ps
-            elif self.device.state.verbose >= 1:
-                print(f"scene exceeds VMEM budget ({ps.vmem_bytes >> 20} MiB);"
-                      " pallas accel disabled, using XLA path")
+            pallas_scene = pack_scene(bvh, tris)
 
         # compressed subdiv accel (fork modes, scene.cpp:507-510)
         compressed = None
@@ -368,12 +367,19 @@ class Scene:
             self.device.raise_error(Error.INVALID_OPERATION, "scene not committed")
         return self.committed
 
+    def set_intersection_filter(self, fn) -> None:
+        """Register the intersection-filter callback (filter.h). Filters
+        force the XLA kernel variant — the same accel re-selection the
+        reference performs (AccelN::select(filter), acceln.cpp:207)."""
+        self.intersection_filter = fn
+
     def intersect(self, rays: Rays, time=None) -> Hits:
         """rtcIntersect1/K/stream analog (batched over all rays). `time`
         in [0,1] samples motion-blur geometry (ray.time analog)."""
         cs = self._require_commit()
         return scene_intersect(cs, rays, isa=self.device.state.isa,
-                               time=time)
+                               time=time,
+                               filter_fn=self.intersection_filter)
 
     def occluded(self, rays: Rays) -> jnp.ndarray:
         cs = self._require_commit()
@@ -422,7 +428,8 @@ def _use_pallas(cs: CommittedScene, isa: str) -> bool:
 
 
 def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
-                    _sorted: bool = False, time=None) -> Hits:
+                    _sorted: bool = False, time=None,
+                    filter_fn=None) -> Hits:
     """Functional entry: runs the triangle accel then (if present) the
     compressed-subdiv accel, min-combining hits — the AccelN loop
     (acceln.cpp:51). Large batches on the pallas path are stream-sorted
@@ -438,20 +445,21 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
         srays, inv = sort_rays(flat, cs.world_lower, cs.world_upper)
-        hits = scene_intersect(cs, srays, isa=isa, _sorted=True, time=time)
+        hits = scene_intersect(cs, srays, isa=isa, _sorted=True, time=time,
+                               filter_fn=filter_fn)
         return jax.tree.map(
             lambda x: x[inv].reshape(shape + x.shape[1:]), hits)
     if cs.tris.num_prims == 0:
         from ..core.rayhit import miss_hits
         hits = miss_hits(shape, rays.tfar)
-    elif _use_pallas(cs, isa):
+    elif _use_pallas(cs, isa) and filter_fn is None:
         from ..traverse.pallas_packet import intersect_pallas
         hits = intersect_pallas(cs.pallas, cs.tris, rays,
                                 interpret=_pallas_interpret())
     else:
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-        h = intersect_chunked(cs.bvh, cs.tris, flat)
+        h = intersect_chunked(cs.bvh, cs.tris, flat, filter_fn=filter_fn)
         hits = jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), h)
 
     if cs.compressed is not None:

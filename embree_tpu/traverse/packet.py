@@ -63,16 +63,23 @@ def _node_box_test(lower, upper, rdir, org_rdir, tnear, tcur):
 
 
 def _leaf_intersect(tris: TrianglePrims, prim_order, start, count, max_leaf,
-                    org, direction, tnear, t, prim):
-    """Test up to max_leaf contiguous leaf prims against the packet."""
+                    org, direction, tnear, t, prim, filter_fn=None):
+    """Test up to max_leaf contiguous leaf prims against the packet.
+    `filter_fn` is the intersection-filter callback (filter.h:51
+    runIntersectionFilter1): called per candidate hit, may reject lanes
+    so traversal keeps searching."""
     def body(i, carry):
         t, prim = carry
         p = prim_order[start + i]
         valid_i = i < count
         v0, v1, v2 = tris.v0[p], tris.v1[p], tris.v2[p]
-        valid, t_hit, _u, _v, _ng = intersect_triangle(
+        valid, t_hit, u, v, ng = intersect_triangle(
             org, direction, tnear, t, v0, v1, v2)
         valid = valid & valid_i
+        if filter_fn is not None:
+            accept = filter_fn(org, direction, t_hit, u, v, ng,
+                               tris.geom_id[p], tris.prim_id[p])
+            valid = valid & accept
         t = jnp.where(valid, t_hit, t)
         prim = jnp.where(valid, p, prim)
         return t, prim
@@ -93,9 +100,11 @@ def _leaf_occluded(tris: TrianglePrims, prim_order, start, count, max_leaf,
     return jax.lax.fori_loop(0, jnp.minimum(count, max_leaf), body, occluded)
 
 
-@functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf"))
+@functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf",
+                                             "filter_fn"))
 def intersect_packet(bvh: BVH, tris: TrianglePrims, rays: Rays,
-                     stack_depth: int = 96, max_leaf: int = 8):
+                     stack_depth: int = 96, max_leaf: int = 8,
+                     filter_fn=None):
     """Closest-hit traversal for a flat batch of rays. Returns Hits."""
     org, direction = rays.org, rays.dir
     tnear, tfar = rays.tnear, rays.tfar
@@ -135,7 +144,8 @@ def intersect_packet(bvh: BVH, tris: TrianglePrims, rays: Rays,
             def run(args):
                 t, prim = args
                 return _leaf_intersect(tris, bvh.prim_order, child[c], count[c],
-                                       max_leaf, org, direction, tnear, t, prim)
+                                       max_leaf, org, direction, tnear, t, prim,
+                                       filter_fn)
             return jax.lax.cond(any_hit[c] & (count[c] > 0), run,
                                 lambda a: a, (t, prim))
 
@@ -186,10 +196,10 @@ def _finalize_hits(tris: TrianglePrims, rays: Rays, t, prim) -> Hits:
 
 
 @functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf",
-                                             "packet_size"))
+                                             "packet_size", "filter_fn"))
 def intersect_chunked(bvh: BVH, tris: TrianglePrims, rays: Rays,
                       packet_size: int = 1024, stack_depth: int = 96,
-                      max_leaf: int = 8):
+                      max_leaf: int = 8, filter_fn=None):
     """Chunk a flat ray batch into fixed-size packets and traverse each
     with its own shared stack (lax.map = sequential, like the reference's
     per-tile parallel_for tutorial loop). Coherent chunks (image tiles,
@@ -197,7 +207,8 @@ def intersect_chunked(bvh: BVH, tris: TrianglePrims, rays: Rays,
     packet would."""
     R = rays.tnear.shape[0]
     if R <= packet_size:
-        return intersect_packet(bvh, tris, rays, stack_depth, max_leaf)
+        return intersect_packet(bvh, tris, rays, stack_depth, max_leaf,
+                                filter_fn)
     P = packet_size
     Rp = -(-R // P) * P
     pad = Rp - R
@@ -214,7 +225,7 @@ def intersect_chunked(bvh: BVH, tris: TrianglePrims, rays: Rays,
     def run(chunk):
         o, dd, n, f = chunk
         return intersect_packet(bvh, tris, Rays(o, dd, n, f),
-                                stack_depth, max_leaf)
+                                stack_depth, max_leaf, filter_fn)
 
     hits = jax.lax.map(run, (org, d, tn, tf))
     flat = jax.tree.map(lambda x: x.reshape((Rp,) + x.shape[2:]), hits)

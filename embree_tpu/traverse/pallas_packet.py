@@ -314,8 +314,12 @@ def _ray_tiles(rays: Rays, sub: int = DEFAULT_SUB):
 
 
 def _pallas_call(occluded: bool, num_blocks: int, interpret: bool,
-                 sub: int = DEFAULT_SUB):
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+                 sub: int = DEFAULT_SUB, tables_in_hbm: bool = False):
+    # node/tri tables are only ever touched by row DMAs, so they can stay
+    # in HBM for big scenes — removes the VMEM scene-size cap at the cost
+    # of a longer (but prefetch-hidden) per-row fetch
+    table_spec = pl.BlockSpec(memory_space=pltpu.ANY if tables_in_hbm
+                              else pltpu.VMEM)
     tile = (sub, 128)
     ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -341,12 +345,16 @@ def _pallas_call(occluded: bool, num_blocks: int, interpret: bool,
     )
 
 
+VMEM_TABLE_BUDGET = 12 * 1024 * 1024
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_blocks", "interpret", "sub"))
 def _run_intersect(ps: PallasScene, tiles, num_blocks: int, interpret=False,
                    sub: int = DEFAULT_SUB):
     params = jnp.asarray([262144], jnp.int32)
-    return _pallas_call(False, num_blocks, interpret, sub)(
+    hbm = ps.vmem_bytes > VMEM_TABLE_BUDGET
+    return _pallas_call(False, num_blocks, interpret, sub, hbm)(
         params, ps.nodes, ps.tdata, *tiles)
 
 
@@ -355,7 +363,8 @@ def _run_intersect(ps: PallasScene, tiles, num_blocks: int, interpret=False,
 def _run_occluded(ps: PallasScene, tiles, num_blocks: int, interpret=False,
                   sub: int = DEFAULT_SUB):
     params = jnp.asarray([262144], jnp.int32)
-    return _pallas_call(True, num_blocks, interpret, sub)(
+    hbm = ps.vmem_bytes > VMEM_TABLE_BUDGET
+    return _pallas_call(True, num_blocks, interpret, sub, hbm)(
         params, ps.nodes, ps.tdata, *tiles)
 
 

@@ -272,12 +272,13 @@ class Scene:
         self._progress(0.9)
         bvh = bvh_np.to_device()
 
-        # pack the pallas (TPU kernel) accel; big scenes keep their
+        # pack the pallas (TPU kernel) accel from the HOST builder arrays
+        # (device pullbacks are slow over axon); big scenes keep their
         # tables in HBM (row DMAs reach both memory spaces)
         pallas_scene = None
         if lower.shape[0]:
             from ..traverse.pallas_packet import pack_scene
-            pallas_scene = pack_scene(bvh, tris)
+            pallas_scene = pack_scene(bvh_np, tris, host_tris=(v0, v1, v2))
 
         # compressed subdiv accel (fork modes, scene.cpp:507-510)
         compressed = None

@@ -70,8 +70,13 @@ class PallasScene(NamedTuple):
         return 4 * 128 * (self.nodes.shape[0] + self.tdata.shape[0])
 
 
-def pack_scene(bvh: BVH, tris: TrianglePrims) -> PallasScene:
-    """Repack builder output into the kernel's 128-lane row layout."""
+def pack_scene(bvh, tris, host_tris=None) -> PallasScene:
+    """Repack builder output into the kernel's 128-lane row layout.
+
+    Pass the HOST-side builder output (BVHArraysNP) and `host_tris`
+    (v0, v1, v2 numpy arrays) when available: np.asarray on device
+    arrays is a device->host pull, which is catastrophically slow over
+    the axon tunnel (~350 s at 500k prims, measured)."""
     lower = np.asarray(bvh.lower)    # (M, 4, 3)
     upper = np.asarray(bvh.upper)
     child = np.asarray(bvh.child)    # (M, 4)
@@ -90,9 +95,14 @@ def pack_scene(bvh: BVH, tris: TrianglePrims) -> PallasScene:
     # never runs off the end
     T = order.shape[0]
     if T:
-        v0 = np.asarray(tris.v0)[order]
-        v1 = np.asarray(tris.v1)[order]
-        v2 = np.asarray(tris.v2)[order]
+        if host_tris is not None:
+            hv0, hv1, hv2 = host_tris
+        else:
+            hv0, hv1, hv2 = (np.asarray(tris.v0), np.asarray(tris.v1),
+                             np.asarray(tris.v2))
+        v0 = hv0[order]
+        v1 = hv1[order]
+        v2 = hv2[order]
     else:
         v0 = v1 = v2 = np.zeros((0, 3), np.float32)
     td = np.zeros((max(T, 1), 12), np.float32)

@@ -49,6 +49,9 @@ class TutorialApplication:
         p.add_argument("--lefthanded", action="store_true")
         p.add_argument("--righthanded", action="store_true")
         p.add_argument("-o", "--output", type=str, default=None)
+        p.add_argument("-c", "--command-file", type=str, default=None,
+                       help=".ecs command file (options, one or more per "
+                            "line; '#' comments) — tutorial.cpp -c")
         p.add_argument("--benchmark", nargs=2, type=int, metavar=("SKIP", "ITER"))
         p.add_argument("--rtcore", type=str, default="", help="device config string")
         # fork flags (tutorial.cpp:537-564)
@@ -60,7 +63,28 @@ class TutorialApplication:
         p.add_argument("--compLvl", type=int, default=2)
         return p
 
+    @staticmethod
+    def _expand_ecs(argv):
+        """Inline -c FILE contents (the .ecs command scripts the
+        reference demos ship, e.g. build/bomberman.ecs)."""
+        out = []
+        i = 0
+        argv = list(argv)
+        while i < len(argv):
+            if argv[i] in ("-c", "--command-file") and i + 1 < len(argv):
+                with open(argv[i + 1]) as f:
+                    for line in f:
+                        line = line.split("#", 1)[0].strip()
+                        if line:
+                            out.extend(line.split())
+                i += 2
+            else:
+                out.append(argv[i])
+                i += 1
+        return out
+
     def parse(self, argv):
+        argv = self._expand_ecs(argv)
         args = self.make_parser().parse_args(argv)
         # clamping per tutorial.cpp:558-564,730-733
         args.subdLvl = max(args.subdLvl, 2)

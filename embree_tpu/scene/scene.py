@@ -163,6 +163,8 @@ class Scene:
 
     # --- commit (scene.cpp:632 commit_task) --------------------------------
     def commit(self) -> CommittedScene:
+        from ..core.profile import profile_phase, trace
+        trace("rtcCommitScene", id(self))
         t0 = time.perf_counter()
         self._progress(0.0)
 
@@ -267,10 +269,12 @@ class Scene:
 
         self._progress(0.3)
         settings = BuildSettings()
-        bvh_np = build_sah(lower, upper, settings,
-                           backend=self.device.state.builder)
+        with profile_phase("scene.build_sah"):
+            bvh_np = build_sah(lower, upper, settings,
+                               backend=self.device.state.builder)
         self._progress(0.9)
-        bvh = bvh_np.to_device()
+        with profile_phase("scene.upload"):
+            bvh = bvh_np.to_device()
 
         # pack the pallas (TPU kernel) accel from the HOST builder arrays
         # (device pullbacks are slow over axon); big scenes keep their
@@ -278,7 +282,9 @@ class Scene:
         pallas_scene = None
         if lower.shape[0]:
             from ..traverse.pallas_packet import pack_scene
-            pallas_scene = pack_scene(bvh_np, tris, host_tris=(v0, v1, v2))
+            with profile_phase("scene.pack_pallas"):
+                pallas_scene = pack_scene(bvh_np, tris,
+                                          host_tris=(v0, v1, v2))
 
         # compressed subdiv accel (fork modes, scene.cpp:507-510)
         compressed = None
@@ -321,6 +327,8 @@ class Scene:
         self._progress(1.0)
         if self.device.state.verbose >= 2:
             self.print_statistics()
+            from ..core.profile import global_profiler
+            global_profiler().print("  profile ")
         return self.committed
 
     def _build_mb(self, mb_geoms):

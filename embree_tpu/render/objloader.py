@@ -16,9 +16,27 @@ from ..scene.geometry import SubdivMesh, TriangleMesh
 from .materials import MAT_OBJ
 
 
+def _load_image(path: str):
+    from .image import read_pfm, read_ppm
+    ext = os.path.splitext(path)[1].lower()
+    try:
+        if ext == ".ppm":
+            return read_ppm(path).astype(np.float32) / 255.0
+        if ext == ".pfm":
+            return read_pfm(path)
+        import matplotlib.image as mpimg
+        img = mpimg.imread(path)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        return img[..., :3]
+    except Exception:
+        return None
+
+
 def load_mtl(path: str) -> dict:
     mats = {}
     cur = None
+    base = os.path.dirname(path)
     if not os.path.exists(path):
         return mats
     with open(path) as f:
@@ -31,6 +49,10 @@ def load_mtl(path: str) -> dict:
                 mats[cur] = {"type": MAT_OBJ, "kd": (0.5, 0.5, 0.5)}
             elif cur is None:
                 continue
+            elif tok[0] == "map_Kd":
+                img = _load_image(os.path.join(base, tok[-1]))
+                if img is not None:
+                    mats[cur]["map_kd"] = img
             elif tok[0] == "Kd":
                 mats[cur]["kd"] = tuple(map(float, tok[1:4]))
             elif tok[0] == "Ks":
@@ -51,7 +73,8 @@ def load_obj(path: str, subdiv_mode: bool = False):
     (TriangleMesh|SubdivMesh, material_index); materials a list of dicts
     for make_material_table."""
     verts = []
-    faces = []          # list of (index list, material id)
+    texcoords = []
+    faces = []          # list of (index list, texcoord index list, mat id)
     mats = [{"type": MAT_OBJ, "kd": (0.5, 0.5, 0.5)}]
     mat_index = {None: 0}
     cur_mat = 0
@@ -64,6 +87,8 @@ def load_obj(path: str, subdiv_mode: bool = False):
                 continue
             if tok[0] == "v":
                 verts.append(tuple(map(float, tok[1:4])))
+            elif tok[0] == "vt":
+                texcoords.append(tuple(map(float, tok[1:3])))
             elif tok[0] == "mtllib":
                 loaded = load_mtl(os.path.join(base, tok[1]))
                 for name, m in loaded.items():
@@ -73,30 +98,44 @@ def load_obj(path: str, subdiv_mode: bool = False):
             elif tok[0] == "usemtl":
                 cur_mat = mat_index.get(tok[1], 0)
             elif tok[0] == "f":
-                idx = [int(t.split("/")[0]) for t in tok[1:]]
+                parts = [t.split("/") for t in tok[1:]]
+                idx = [int(p[0]) for p in parts]
                 idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
-                faces.append((idx, cur_mat))
+                ti = [int(p[1]) - 1 if len(p) > 1 and p[1] else -1
+                      for p in parts]
+                faces.append((idx, ti, cur_mat))
 
     verts = np.asarray(verts, np.float32)
+    texcoords = np.asarray(texcoords, np.float32) if texcoords \
+        else np.zeros((0, 2), np.float32)
     geometries = []
 
     # group faces by material -> one geometry per material (the reference
     # scene graph's per-material meshes)
     by_mat = {}
-    for idx, m in faces:
-        by_mat.setdefault(m, []).append(idx)
+    for idx, ti, m in faces:
+        by_mat.setdefault(m, []).append((idx, ti))
 
     for m, fl in sorted(by_mat.items()):
         if subdiv_mode:
-            counts = np.asarray([len(x) for x in fl], np.int32)
-            flat = np.asarray([i for x in fl for i in x], np.int32)
+            counts = np.asarray([len(x[0]) for x in fl], np.int32)
+            flat = np.asarray([i for x in fl for i in x[0]], np.int32)
             geometries.append((SubdivMesh(verts, counts, flat), m))
         else:
             tris = []
-            for idx in fl:
+            tri_uv = []
+            for idx, ti in fl:
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     tris.append((idx[0], idx[k], idx[k + 1]))
-            geometries.append(
-                (TriangleMesh(verts, np.asarray(tris, np.int32)), m))
+                    uv3 = []
+                    for j in (0, k, k + 1):
+                        if 0 <= ti[j] < len(texcoords):
+                            uv3.append(texcoords[ti[j]])
+                        else:
+                            uv3.append((0.0, 0.0))
+                    tri_uv.append(uv3)
+            mesh = TriangleMesh(verts, np.asarray(tris, np.int32))
+            mesh.texcoords = np.asarray(tri_uv, np.float32)  # (T, 3, 2)
+            geometries.append((mesh, m))
 
     return geometries, mats

@@ -21,6 +21,7 @@ from ...scene.scene import Scene, scene_intersect
 from ..camera import Camera
 from ..materials import make_material_table
 from ..objloader import load_obj
+from ..texture import make_texture_set, sample_texture
 from ..tutorial_app import TutorialApplication
 
 
@@ -33,20 +34,47 @@ def build_scene(obj_path: str, subdiv_mode=None, subdiv_level=5,
     scene = Scene(dev)
     geometries, mats = load_obj(obj_path, subdiv_mode=subdiv_mode is not None)
     geom_mat = []
+    uv_per_geom = {}
+    prim_base = {}
+    uv_all = []
     for geom, m in geometries:
         gid = scene.attach(geom)
         while len(geom_mat) <= gid:
             geom_mat.append(0)
         geom_mat[gid] = m
+        tc = getattr(geom, "texcoords", None)
+        prim_base[gid] = len(uv_all)
+        if tc is not None:
+            uv_all.extend(tc)
+        elif hasattr(geom, "indices"):
+            uv_all.extend(np.zeros((geom.num_prims, 3, 2), np.float32))
     scene.set_levels(subdiv_level, comp_level)
     cs = scene.commit()
+
+    # material textures (map_Kd)
+    images = []
+    kd_tex = np.full(len(mats), -1, np.int32)
+    for i, m in enumerate(mats):
+        if "map_kd" in m:
+            kd_tex[i] = len(images)
+            images.append(m["map_kd"])
+    base_arr = np.zeros(max(len(geom_mat), 1), np.int32)
+    for gid, b in prim_base.items():
+        base_arr[gid] = b
     return dict(cscene=cs, scene=scene,
                 materials=make_material_table(mats),
-                geom_mat=jnp.asarray(np.asarray(geom_mat, np.int32)))
+                geom_mat=jnp.asarray(np.asarray(geom_mat, np.int32)),
+                textures=make_texture_set(images),
+                kd_tex=jnp.asarray(kd_tex),
+                tri_uv=jnp.asarray(np.asarray(uv_all, np.float32)
+                                   if uv_all else np.zeros((1, 3, 2),
+                                                           np.float32)),
+                prim_base=jnp.asarray(base_arr))
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
-def render(cscene, materials, geom_mat, cam_vx, cam_vy, cam_vz, cam_p,
+def render(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
+           cam_vx, cam_vy, cam_vz, cam_p,
            *, width: int, height: int):
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
@@ -60,6 +88,16 @@ def render(cscene, materials, geom_mat, cam_vx, cam_vy, cam_vz, cam_p,
 
     mid = geom_mat[jnp.clip(hits.geom_id, 0, geom_mat.shape[0] - 1)]
     kd = materials.kd[mid]
+    # map_Kd texture lookup with barycentric-interpolated texcoords
+    tid = kd_tex[mid]
+    gp = jnp.clip(prim_base[jnp.clip(hits.geom_id, 0, prim_base.shape[0] - 1)]
+                  + hits.prim_id, 0, tri_uv.shape[0] - 1)
+    uv3 = tri_uv[gp]  # (..., 3, 2)
+    w0 = (1.0 - hits.u - hits.v)[..., None]
+    uv = uv3[..., 0, :] * w0 + uv3[..., 1, :] * hits.u[..., None] \
+        + uv3[..., 2, :] * hits.v[..., None]
+    tex = sample_texture(textures, jnp.maximum(tid, 0), uv[..., 0], uv[..., 1])
+    kd = jnp.where((tid >= 0)[..., None], kd * tex, kd)
     ns = normalize(hits.ng)
     # face forward (viewer_device.cpp:241-244)
     ns = jnp.where(dot(d, ns)[..., None] < 0, ns, -ns)
@@ -71,7 +109,8 @@ def render_frame(state, camera: Camera, size):
     w, h = size
     vx, vy, vz, p = camera.ispc_camera(w, h)
     img = render(state["cscene"], state["materials"], state["geom_mat"],
-                 vx, vy, vz, p, width=w, height=h)
+                 state["textures"], state["kd_tex"], state["tri_uv"],
+                 state["prim_base"], vx, vy, vz, p, width=w, height=h)
     return img, w * h
 
 

@@ -134,3 +134,38 @@ def test_viewer_renders_obj(tmp_path):
     # red quad dominates the view
     lit = img[img.sum(-1) > 0.05]
     assert lit[:, 0].mean() > lit[:, 2].mean()
+
+
+def test_viewer_textured_obj(tmp_path):
+    """map_Kd + vt texcoords flow through to shading."""
+    from embree_tpu.render.image import write_ppm
+    from embree_tpu.render.tutorials import viewer
+    # checkerboard texture
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[::2, ::2] = (1, 0, 0)
+    tex[1::2, 1::2] = (1, 0, 0)
+    write_ppm(str(tmp_path / "check.ppm"), tex)
+    (tmp_path / "t.mtl").write_text(
+        "newmtl texd\nKd 1 1 1\nmap_Kd check.ppm\n")
+    (tmp_path / "t.obj").write_text("""
+mtllib t.mtl
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+vt 0 1
+usemtl texd
+f 1/1 2/2 3/3 4/4
+""")
+    state = viewer.build_scene(str(tmp_path / "t.obj"))
+    cam = Camera(from_=(0.5, 0.5, 2.0), to=(0.5, 0.5, 0.0), fov=45)
+    img, _ = viewer.render_frame(state, cam, (32, 32))
+    img = np.asarray(img)
+    lit = img[img.sum(-1) > 0.05]
+    # checkerboard: some red texels, some black -> variance in red channel
+    assert lit.shape[0] > 50
+    assert lit[:, 0].std() > 0.1  # bilinear-smoothed checker
+    assert lit[:, 2].max() < 0.1  # no blue anywhere

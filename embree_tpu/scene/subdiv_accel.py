@@ -21,7 +21,7 @@ import numpy as np
 from ..build.bvh import BVH
 from ..build.cbvh import CompressedBuildResult, build_compressed_tiles
 from ..build.sah import BuildSettings, build_sah
-from ..subdiv.core import evaluate_plan, plan_subdivision
+from ..subdiv.core import evaluate_plan, limit_project, plan_subdivision
 from ..subdiv.tessellate import build_patch_grids, vertex_normals
 
 
@@ -49,6 +49,7 @@ def build_subdiv_geometry(mesh, subdivision_level: int):
         vertex_creases=mesh.vertex_creases,
         vertex_crease_weights=mesh.vertex_crease_weights)
     verts = evaluate_plan(plan, np.asarray(mesh.vertices, np.float32))
+    verts = limit_project(plan, verts)  # limit surface (getLimitVertex)
     quads = plan.final_quads
     normals = vertex_normals(verts, quads)
 

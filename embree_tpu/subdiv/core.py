@@ -301,6 +301,10 @@ class SubdivisionPlan:
     levels: list
     base_face_counts: np.ndarray
     base_num_vertices: int
+    # creases surviving to the final mesh (for limit projection)
+    final_edge_creases: np.ndarray = None        # (K, 2) or None
+    final_edge_crease_weights: np.ndarray = None
+    final_vertex_sharp: np.ndarray = None        # (Vfinal,)
 
     @property
     def final_quads(self) -> np.ndarray:
@@ -357,7 +361,10 @@ def plan_subdivision(face_counts, face_indices, num_vertices, levels: int,
             es_w = None
 
     return SubdivisionPlan(levels=out, base_face_counts=face_counts,
-                           base_num_vertices=num_vertices)
+                           base_num_vertices=num_vertices,
+                           final_edge_creases=es_edges,
+                           final_edge_crease_weights=es_w,
+                           final_vertex_sharp=vsharp)
 
 
 def evaluate_plan(plan: SubdivisionPlan, base_vertices, use_jax: bool = False):
@@ -366,3 +373,76 @@ def evaluate_plan(plan: SubdivisionPlan, base_vertices, use_jax: bool = False):
     for st in plan.levels:
         v = apply_stencil_jnp(st, v) if use_jax else apply_stencil_np(st, v)
     return v
+
+
+def limit_project(plan: SubdivisionPlan, verts: np.ndarray) -> np.ndarray:
+    """Push the final subdivided vertices to their LIMIT positions
+    (catmullclark_ring.h getLimitVertex :373-400):
+
+      interior:  (n^2 v + 4 sum(E) + sum(F)) / (n (n+5))
+      boundary/crease (2 sharp edges): (4 v + b1 + b2) / 6
+      corner / hard vertex crease: pinned
+
+    E = edge-adjacent vertices, F = quad-diagonal vertices of the final
+    all-quad mesh — fully vectorized scatter sums."""
+    quads = plan.final_quads
+    V = verts.shape[0]
+    E_sum = np.zeros_like(verts)
+    F_sum = np.zeros_like(verts)
+    n_faces = np.zeros(V, np.int64)
+
+    for c in range(4):
+        a = quads[:, c]
+        b = quads[:, (c + 1) % 4]
+        d = quads[:, (c + 3) % 4]
+        diag = quads[:, (c + 2) % 4]
+        np.add.at(E_sum, a, verts[b] + verts[d])
+        np.add.at(F_sum, a, verts[diag])
+        np.add.at(n_faces, a, 1)
+
+    # each interior edge-neighbor was counted twice (once per quad side)
+    E_sum *= 0.5
+    n = np.maximum(n_faces, 1).astype(np.float32)[:, None]
+    limit = (n * n * verts + 4.0 * E_sum + F_sum) / ((n + 5.0) * n)
+
+    # boundary & crease handling: collect sharp edges (boundary edges +
+    # surviving infinite creases)
+    fc = np.full(quads.shape[0], 4, np.int64)
+    fo = np.concatenate([[0], np.cumsum(fc)])
+    edges, edge_faces, _he = _build_edges(fc, fo, quads.reshape(-1))
+    boundary = edge_faces[:, 1] < 0
+    sharp = boundary.copy()
+    if plan.final_edge_creases is not None and len(plan.final_edge_creases):
+        ce = np.asarray(plan.final_edge_creases, np.int64)
+        cw = np.asarray(plan.final_edge_crease_weights, np.float32)
+        lo = np.minimum(ce[:, 0], ce[:, 1])
+        hi = np.maximum(ce[:, 0], ce[:, 1])
+        ckey = lo * (1 << 31) + hi
+        ekey = edges[:, 0] * (1 << 31) + edges[:, 1]
+        pos = np.searchsorted(ekey, ckey)
+        ok = pos < ekey.shape[0]
+        ok[ok] &= ekey[pos[ok]] == ckey[ok]
+        hard = ok & (cw >= 1.0)
+        sharp[pos[hard]] = True
+
+    n_sharp = np.bincount(edges[sharp].reshape(-1), minlength=V)
+    crease_v = n_sharp == 2
+    corner_v = n_sharp >= 3
+    # boundary corners (one incident quad + two sharp edges) are pinned,
+    # matching the refinement's corner rule
+    corner_v |= (n_faces == 1) & (n_sharp >= 2)
+    crease_v &= ~corner_v
+    if plan.final_vertex_sharp is not None:
+        vs = np.asarray(plan.final_vertex_sharp, np.float32)[:V]
+        corner_v |= vs >= 1.0
+
+    if crease_v.any():
+        B_sum = np.zeros_like(verts)
+        se = edges[sharp]
+        np.add.at(B_sum, se[:, 0], verts[se[:, 1]])
+        np.add.at(B_sum, se[:, 1], verts[se[:, 0]])
+        limit_b = (4.0 * verts + B_sum) / 6.0
+        limit = np.where(crease_v[:, None], limit_b, limit)
+
+    limit = np.where(corner_v[:, None], verts, limit)
+    return limit.astype(np.float32)

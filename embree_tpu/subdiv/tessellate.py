@@ -25,7 +25,8 @@ import dataclasses
 
 import numpy as np
 
-from .core import SubdivisionPlan, evaluate_plan, plan_subdivision
+from .core import (SubdivisionPlan, evaluate_plan, limit_project,
+                   plan_subdivision)
 
 
 @dataclasses.dataclass
@@ -156,6 +157,7 @@ def tessellate_mesh_to_triangles(mesh, subdivision_level: int):
         vertex_creases=mesh.vertex_creases,
         vertex_crease_weights=mesh.vertex_crease_weights)
     verts = evaluate_plan(plan, np.asarray(mesh.vertices, np.float32))
+    verts = limit_project(plan, verts)  # push to the limit surface
     quads = plan.final_quads
 
     if mesh.displacement is not None:

@@ -44,7 +44,10 @@ def _load():
             lib.et_build_sah.restype = ctypes.c_void_p
             lib.et_build_sah.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float]
+            lib.et_num_refs.restype = ctypes.c_int64
+            lib.et_num_refs.argtypes = [ctypes.c_void_p]
             lib.et_num_nodes.restype = ctypes.c_int64
             lib.et_num_nodes.argtypes = [ctypes.c_void_p, ctypes.c_int]
             lib.et_get_arrays.restype = None
@@ -64,7 +67,15 @@ def native_available() -> bool:
 
 def build_sah_native(prim_lower: np.ndarray, prim_upper: np.ndarray,
                      branching: int = 4, max_leaf: int = 4,
-                     min_leaf: int = 1) -> BVHArraysNP | None:
+                     min_leaf: int = 1,
+                     spatial_factor: float = 1.0) -> BVHArraysNP | None:
+    """spatial_factor > 1 enables the pre-split reference-duplication
+    pass (RTC_BUILD_QUALITY_HIGH analog; the budget matches embree's
+    max_spatial_split_replications = 1.2, state.cpp defaults). The
+    returned prim_order then holds up to spatial_factor * P entries with
+    repeats — leaves referencing a duplicated prim test it more than
+    once, which is harmless for correctness and pays off as tighter
+    child bounds on long skinny prims."""
     lib = _load()
     if lib is None:
         return None
@@ -74,8 +85,9 @@ def build_sah_native(prim_lower: np.ndarray, prim_upper: np.ndarray,
     h = lib.et_build_sah(
         lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         hi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        P, branching, max_leaf, min_leaf)
+        P, branching, max_leaf, min_leaf, float(spatial_factor))
     try:
+        P = lib.et_num_refs(h)
         M = lib.et_num_nodes(h, branching)
         lower = np.empty((M, branching, 3), np.float32)
         upper = np.empty((M, branching, 3), np.float32)

@@ -40,6 +40,10 @@ class BuildSettings:
     travcost: float = 1.0
     intcost: float = 1.0
     max_depth: int = 64
+    # > 1 enables pre-split reference duplication (the bounded form of
+    # spatial splits; embree max_spatial_split_replications default 1.2).
+    # Native backend only; the python fallback ignores it.
+    spatial_factor: float = 1.0
 
 
 def _half_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
@@ -282,7 +286,8 @@ def build_sah(prim_lower: np.ndarray, prim_upper: np.ndarray,
         out = build_sah_native(prim_lower, prim_upper,
                                branching=settings.branching_factor,
                                max_leaf=settings.max_leaf_size,
-                               min_leaf=settings.min_leaf_size)
+                               min_leaf=settings.min_leaf_size,
+                               spatial_factor=settings.spatial_factor)
         if out is not None:
             return out
         if backend == "native":

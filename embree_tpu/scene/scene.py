@@ -40,7 +40,7 @@ from ..traverse.packet import (intersect_chunked, intersect_packet,
 class BuildQuality(enum.IntEnum):
     LOW = 0      # morton/LBVH
     MEDIUM = 1   # binned SAH (default)
-    HIGH = 2     # binned SAH (spatial splits TBD)
+    HIGH = 2     # binned SAH + pre-split duplication (spatial splits)
     REFIT = 3
 
 
@@ -268,7 +268,10 @@ class Scene:
             upper = np.zeros((0, 3), np.float32)
 
         self._progress(0.3)
-        settings = BuildSettings()
+        # HIGH quality: bounded spatial-split duplication (rtcore_common's
+        # RTC_BUILD_QUALITY_HIGH; budget = embree's 1.2 replication cap)
+        settings = BuildSettings(
+            spatial_factor=1.2 if self.quality == BuildQuality.HIGH else 1.0)
         with profile_phase("scene.build_sah"):
             bvh_np = build_sah(lower, upper, settings,
                                backend=self.device.state.builder)

@@ -325,27 +325,97 @@ struct Result {
 
 }  // namespace
 
+// ---------------------------------------------------------------------
+// Pre-split pass (RTC_BUILD_QUALITY_HIGH): duplicate large primitive
+// references by chopping their boxes at longest-axis midplanes before
+// the SAH build — the budget-bounded form of embree's spatial splits
+// (heuristic_spatial_array.h, bounded by
+// max_spatial_split_replications, state.h:113). Works on bounds alone,
+// so it applies to every primitive type.
+struct Ref {
+    int64_t prim;
+    BBox box;
+};
+
+static void presplit(std::vector<Ref>& refs, int64_t budget) {
+    if (budget <= 0) return;
+    auto pri = [](const Ref& r) { return r.box.half_area(); };
+    auto cmp = [&](const Ref& a, const Ref& b) { return pri(a) < pri(b); };
+    std::make_heap(refs.begin(), refs.end(), cmp);
+    std::vector<Ref> done;
+    done.reserve(refs.size() + budget);
+    while (budget > 0 && !refs.empty()) {
+        std::pop_heap(refs.begin(), refs.end(), cmp);
+        Ref r = refs.back();
+        refs.pop_back();
+        float dx = r.box.hi.x - r.box.lo.x;
+        float dy = r.box.hi.y - r.box.lo.y;
+        float dz = r.box.hi.z - r.box.lo.z;
+        int ax = dx > dy ? (dx > dz ? 0 : 2) : (dy > dz ? 1 : 2);
+        float mid = 0.5f * ((&r.box.lo.x)[ax] + (&r.box.hi.x)[ax]);
+        Ref a = r, b = r;
+        (&a.box.hi.x)[ax] = mid;
+        (&b.box.lo.x)[ax] = mid;
+        refs.push_back(a);
+        std::push_heap(refs.begin(), refs.end(), cmp);
+        refs.push_back(b);
+        std::push_heap(refs.begin(), refs.end(), cmp);
+        --budget;
+    }
+}
+
 extern "C" {
 
 // Builds a BVH<branching> over prim bounds. Returns an opaque handle;
-// query the arrays then free.
+// query the arrays then free. spatial_factor > 1 enables the pre-split
+// pass with ceil((spatial_factor - 1) * count) extra references.
 void* et_build_sah(const float* lower, const float* upper, int64_t count,
-                   int branching, int max_leaf, int min_leaf) {
+                   int branching, int max_leaf, int min_leaf,
+                   float spatial_factor) {
     auto* B = new Builder();
-    B->lower = lower;
-    B->upper = upper;
     B->branching = branching;
     B->max_leaf = max_leaf;
     B->min_leaf = min_leaf;
     B->leaf_mult = max_leaf + 1;
-    B->centroid.resize(count);
-    B->order.resize(count);
+
+    // materialize (possibly pre-split) reference bounds
+    std::vector<Ref> refs(count);
     for (int64_t i = 0; i < count; ++i) {
-        B->order[i] = i;
-        B->centroid[i] = {0.5f * (lower[3 * i] + upper[3 * i]),
-                          0.5f * (lower[3 * i + 1] + upper[3 * i + 1]),
-                          0.5f * (lower[3 * i + 2] + upper[3 * i + 2])};
+        refs[i].prim = i;
+        refs[i].box.lo = {lower[3 * i], lower[3 * i + 1], lower[3 * i + 2]};
+        refs[i].box.hi = {upper[3 * i], upper[3 * i + 1], upper[3 * i + 2]};
     }
+    if (spatial_factor > 1.0f)
+        presplit(refs, (int64_t)((spatial_factor - 1.0f) * count));
+    const int64_t n = (int64_t)refs.size();
+
+    auto* low = new std::vector<float>(n * 3);
+    auto* upp = new std::vector<float>(n * 3);
+    auto* pmap = new std::vector<int64_t>(n);
+    for (int64_t i = 0; i < n; ++i) {
+        (*low)[3 * i] = refs[i].box.lo.x;
+        (*low)[3 * i + 1] = refs[i].box.lo.y;
+        (*low)[3 * i + 2] = refs[i].box.lo.z;
+        (*upp)[3 * i] = refs[i].box.hi.x;
+        (*upp)[3 * i + 1] = refs[i].box.hi.y;
+        (*upp)[3 * i + 2] = refs[i].box.hi.z;
+        (*pmap)[i] = refs[i].prim;
+    }
+    B->lower = low->data();
+    B->upper = upp->data();
+    const int64_t P = n;
+    (void)P;
+    int64_t real_count = n;
+
+    B->centroid.resize(real_count);
+    B->order.resize(real_count);
+    for (int64_t i = 0; i < real_count; ++i) {
+        B->order[i] = i;
+        B->centroid[i] = {0.5f * (B->lower[3 * i] + B->upper[3 * i]),
+                          0.5f * (B->lower[3 * i + 1] + B->upper[3 * i + 1]),
+                          0.5f * (B->lower[3 * i + 2] + B->upper[3 * i + 2])};
+    }
+    count = real_count;
     // reserve so concurrent emplace_back never reallocates (refs stay valid)
     B->nodes.reserve((size_t)count + 16);
 
@@ -359,9 +429,17 @@ void* et_build_sah(const float* lower, const float* upper, int64_t count,
     }
     res->order32.resize(count);
     for (int64_t i = 0; i < count; ++i)
-        res->order32[i] = (int32_t)B->order[i];
+        res->order32[i] = (int32_t)(*pmap)[B->order[i]];
     delete B;
+    delete low;
+    delete upp;
+    delete pmap;
     return res;
+}
+
+int64_t et_num_refs(void* h) {
+    auto* r = (Result*)h;
+    return (int64_t)r->order32.size();
 }
 
 int64_t et_num_nodes(void* h, int branching) {

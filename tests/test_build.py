@@ -80,3 +80,47 @@ def test_wide_nodes_filled(rng):
     valid_children = (count >= 0).sum(1)
     # most wide nodes should have >2 children after collapse
     assert valid_children.mean() > 2.5
+
+
+def test_high_quality_prespit_builds_and_agrees(rng):
+    """RTC_BUILD_QUALITY_HIGH: bounded pre-split duplication (the
+    spatial-split analog, embree heuristic_spatial_array.h + 1.2
+    replication cap). Duplicated refs must keep every prim reachable and
+    leave hit results identical to the MEDIUM build."""
+    import jax.numpy as jnp
+
+    from embree_tpu import BuildQuality, Device, Scene, scene_intersect
+    from embree_tpu.core.rayhit import Rays
+    from embree_tpu.scene.geometry import TriangleMesh
+
+    n = 300
+    c = rng.random((n, 3)).astype(np.float32) * 4
+    v1 = c + rng.random((n, 3)).astype(np.float32) * 2.0  # long prims
+    v2 = c + rng.random((n, 3)).astype(np.float32) * 0.1
+    verts = np.stack([c, v1, v2], 1).reshape(-1, 3)
+    idx = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+
+    dev = Device("ignore_config_files=1,isa=xla")
+    out = {}
+    for q in (BuildQuality.MEDIUM, BuildQuality.HIGH):
+        sc = Scene(dev, quality=q)
+        sc.attach(TriangleMesh(verts, idx))
+        cs = sc.commit()
+        r2 = np.random.default_rng(7)
+        org = r2.random((512, 3)).astype(np.float32) * 4
+        d = r2.standard_normal((512, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        rays = Rays(jnp.asarray(org), jnp.asarray(d),
+                    jnp.zeros(512), jnp.full(512, np.inf))
+        h = scene_intersect(cs, rays)
+        out[q] = (np.asarray(h.valid), np.asarray(h.prim_id),
+                  np.asarray(h.t), cs)
+    m, h = out[BuildQuality.MEDIUM], out[BuildQuality.HIGH]
+    # duplication happened but every prim is still present exactly once
+    # in the unique set
+    order_h = np.asarray(h[3].bvh.prim_order)
+    assert order_h.shape[0] > n
+    assert set(np.unique(order_h)) == set(range(n))
+    assert np.array_equal(m[0], h[0])
+    assert np.array_equal(m[1][m[0]], h[1][m[0]])
+    assert np.allclose(m[2][m[0]], h[2][m[0]], rtol=1e-5)

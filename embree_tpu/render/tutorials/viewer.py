@@ -32,7 +32,13 @@ def build_scene(obj_path: str, subdiv_mode=None, subdiv_level=5,
         cfg += f",subdiv_accel={subdiv_mode}"
     dev = Device(cfg)
     scene = Scene(dev)
-    geometries, mats = load_obj(obj_path, subdiv_mode=subdiv_mode is not None)
+    if obj_path.lower().endswith(".xml"):
+        from ..xmlloader import load_xml
+        xs = load_xml(obj_path)
+        geometries, mats = xs.geometries, xs.materials
+    else:
+        geometries, mats = load_obj(obj_path,
+                                    subdiv_mode=subdiv_mode is not None)
     geom_mat = []
     uv_per_geom = {}
     prim_base = {}

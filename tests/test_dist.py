@@ -83,3 +83,53 @@ def test_sharded_train_step_descends(scene, rng):
         jnp.float32(1.0), flat, target)
     l_sh, _ = step(jnp.float32(1.0), srays, target, lr=0.0)
     np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-5)
+
+
+def test_prim_sharded_ring(rng):
+    """Primitive-sharded scene + ray ppermute ring (SURVEY §2.7 last
+    axis): D ring hops must reproduce the replicated single-BVH result
+    exactly (prim ids bit-equal, t to fp tolerance)."""
+    from embree_tpu.build.sah import build_sah
+    from embree_tpu.core.rayhit import Rays
+    from embree_tpu.dist.prim_shard import (build_prim_sharded,
+                                            place_prim_sharded,
+                                            prim_sharded_intersect)
+    from embree_tpu.dist.sharding import make_mesh
+    from embree_tpu.scene.prims import TrianglePrims
+    from embree_tpu.traverse.packet import intersect_chunked
+
+    T = 800
+    c = rng.random((T, 3)).astype(np.float32) * 4
+    v0 = c
+    v1 = c + rng.random((T, 3)).astype(np.float32) * 0.4
+    v2 = c + rng.random((T, 3)).astype(np.float32) * 0.4
+    geom = np.zeros(T, np.int32)
+    prim = np.arange(T, dtype=np.int32)
+    flip = np.zeros(T, np.int32)
+
+    mesh = make_mesh(8, "sp")
+    ps = place_prim_sharded(
+        build_prim_sharded(v0, v1, v2, geom, prim, flip, 8), mesh, "sp")
+
+    R = 1024
+    org = rng.random((R, 3)).astype(np.float32) * 4
+    d = rng.standard_normal((R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays(jnp.asarray(org), jnp.asarray(d),
+                jnp.zeros(R), jnp.full(R, np.inf))
+    h = prim_sharded_intersect(ps, rays, mesh, "sp", packet_size=256)
+
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+    bvh = build_sah(lo, hi).to_device()
+    tris = TrianglePrims(*map(jnp.asarray, (v0, v1, v2, geom, prim, flip)))
+    href = intersect_chunked(bvh, tris, rays, packet_size=256)
+
+    hv, rv = np.asarray(h.valid), np.asarray(href.valid)
+    assert np.array_equal(hv, rv)
+    assert np.allclose(np.asarray(h.t)[hv], np.asarray(href.t)[rv],
+                       rtol=1e-5)
+    assert np.array_equal(np.asarray(h.prim_id)[hv],
+                          np.asarray(href.prim_id)[rv])
+    assert np.array_equal(np.asarray(h.gprim)[hv],
+                          np.asarray(href.gprim)[rv])

@@ -36,6 +36,11 @@ def build_scene(obj_path: str, subdiv_mode=None, subdiv_level=5,
         from ..xmlloader import load_xml
         xs = load_xml(obj_path)
         geometries, mats = xs.geometries, xs.materials
+    elif obj_path.lower().endswith(".ply"):
+        from ..plyloader import load_ply
+        from ..materials import MAT_OBJ
+        geometries = [(load_ply(obj_path), 0)]
+        mats = [{"type": MAT_OBJ, "kd": (0.5, 0.5, 0.5)}]
     else:
         geometries, mats = load_obj(obj_path,
                                     subdiv_mode=subdiv_mode is not None)

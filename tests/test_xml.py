@@ -92,3 +92,35 @@ def test_viewer_renders_xml(xml_path):
     assert np.isfinite(img).all()
     # the red triangle at z=2 fills the view center
     assert img[16, 16, 0] > 0.1 and img[16, 16, 1] == 0.0
+
+
+def test_ply_loader(tmp_path):
+    """PLY loader (tutorials/common/scenegraph/ply_loader.cpp analog):
+    ascii + binary_little_endian, fan triangulation of n-gon faces."""
+    import struct
+
+    from embree_tpu.render.plyloader import load_ply
+
+    p = tmp_path / "a.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 2\nproperty list uchar int vertex_indices\n"
+        "end_header\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n3 0 1 2\n4 0 1 2 3\n")
+    m = load_ply(str(p))
+    assert m.vertices.shape == (4, 3)
+    assert m.indices.shape == (3, 3)  # tri + fan-split quad
+
+    p2 = tmp_path / "b.ply"
+    with open(p2, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n"
+                b"element vertex 3\nproperty float x\nproperty float y\n"
+                b"property float z\nproperty uchar red\n"
+                b"element face 1\nproperty list uchar int vertex_indices\n"
+                b"end_header\n")
+        for v in [(0, 0, 0), (1, 0, 0), (0, 1, 0)]:
+            f.write(struct.pack("<fffB", *v, 255))
+        f.write(struct.pack("<Biii", 3, 0, 1, 2))
+    m2 = load_ply(str(p2))
+    assert np.allclose(np.asarray(m2.vertices)[1], (1, 0, 0))
+    assert m2.indices.shape == (1, 3)

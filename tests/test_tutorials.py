@@ -59,3 +59,67 @@ def test_subdivision_render():
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert (img.sum(-1) > 0).mean() > 0.3
+
+
+def test_dynamic_scene_demo():
+    """dynamic_scene_device.cpp analog: animated spheres re-committed
+    per frame (refit/rebuild alternating)."""
+    from embree_tpu.render.tutorials import dynamic_scene as ds
+
+    st = ds.build_scene()
+    cam = ds.make_app().camera
+    img1, _ = ds.render_frame(st, cam, (32, 32))
+    img2, _ = ds.render_frame(st, cam, (32, 32))  # animates + recommits
+    a1, a2 = np.asarray(img1), np.asarray(img2)
+    assert np.isfinite(a1).all() and np.isfinite(a2).all()
+    assert np.abs(a2 - a1).max() > 0.01  # motion visible
+
+
+def test_user_geometry_demo():
+    """user_geometry_device.cpp analog: analytic spheres + shadows."""
+    from embree_tpu.render.tutorials import user_geometry as ug
+
+    st = ug.build_scene()
+    img, _ = ug.render_frame(st, ug.make_app().camera, (32, 32))
+    a = np.asarray(img)
+    assert np.isfinite(a).all()
+    # red / green / blue spheres all visible
+    assert ((a[..., 0] > 0.2) & (a[..., 1] < 0.1)).sum() > 3
+    # the off-axis green sphere is small at 32x32 — require presence only
+    assert ((a[..., 1] > 0.2) & (a[..., 0] < 0.1) & (a[..., 2] < 0.1)).sum() >= 1
+    assert ((a[..., 2] > 0.2) & (a[..., 1] < 0.1)).sum() >= 1
+
+
+def test_instanced_geometry_demo():
+    """instanced_geometry_device.cpp analog: 4 instances, color by
+    inst_id."""
+    from embree_tpu.render.tutorials import instanced_geometry as ig
+
+    st = ig.build_scene()
+    img, _ = ig.render_frame(st, ig.make_app().camera, (48, 48))
+    a = np.asarray(img)
+    assert np.isfinite(a).all()
+    for ch in range(3):  # instance colors 0..2 each dominate somewhere
+        others = [c for c in range(3) if c != ch]
+        mask = (a[..., ch] > 0.2)
+        for o in others:
+            mask &= a[..., o] < 0.1
+        assert mask.sum() > 3, f"instance color {ch} not visible"
+
+
+def test_intersection_filter_demo():
+    """intersection_filter_device.cpp analog: transparency filter —
+    some cube texels rejected (ray passes through to the ground)."""
+    from embree_tpu.render.tutorials import intersection_filter as xf
+
+    st = xf.build_scene()
+    img, _ = xf.render_frame(st, xf.make_app().camera, (48, 48))
+    a = np.asarray(img)
+    assert np.isfinite(a).all()
+    assert ((a[..., 0] > 0.1) & (a[..., 1] < 0.15)).sum() > 30  # cube
+    # compare with no-filter render: filter must change the image
+    st["scene"].set_intersection_filter(None)
+    cs = st["scene"].commit()
+    st2 = dict(st, cscene=cs, filter_fn=None)
+    img2, _ = xf.render_frame(st2, xf.make_app().camera, (48, 48))
+    assert np.abs(np.asarray(img2) - a).max() > 0.05

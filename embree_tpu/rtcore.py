@@ -257,3 +257,41 @@ def rtcReleaseScene(scene) -> None:
 
 def rtcReleaseDevice(device) -> None:
     pass
+
+
+# --- user-space BVH builder (rtcore_builder.cpp analog) ---------------------
+
+class _BVHHandle:
+    """RTCBVH: owns nothing until rtcBuildBVH; kept for API-shape parity."""
+
+    def __init__(self, device: Device):
+        self.device = device
+        self.root = None
+
+
+def rtcNewBVH(device: Device) -> _BVHHandle:
+    return _BVHHandle(device)
+
+
+def rtcDefaultBuildArguments():
+    from .build.user_builder import BuildArguments
+    return BuildArguments()
+
+
+def rtcBuildBVH(bvh: _BVHHandle, args, lower, upper,
+                geom_ids=None, prim_ids=None):
+    """rtcBuildBVH (rtcore_builder.cpp:370-425): primitives are passed as
+    bounds arrays (the RTCBuildPrimitive array) and the user callbacks in
+    `args` construct the tree; returns the user root."""
+    from .build.user_builder import build_user_bvh
+    bvh.root = build_user_bvh(args, lower, upper, geom_ids, prim_ids)
+    return bvh.root
+
+
+def rtcThreadLocalAlloc(alloc, nbytes: int, align: int = 16):
+    """No-op: Python user nodes are heap objects (parity shim)."""
+    return None
+
+
+def rtcReleaseBVH(bvh) -> None:
+    pass

@@ -242,9 +242,10 @@ rtcOccluded8 = rtcOccluded1M
 rtcOccluded16 = rtcOccluded1M
 
 
-def rtcInterpolate1(scene: Scene, geom_id: int, prim_ids, u, v):
-    """rtcInterpolate analog for subdiv geometries: (P, N)."""
-    return scene.interpolate(geom_id, prim_ids, u, v)
+def rtcInterpolate1(scene: Scene, geom_id: int, prim_ids, u, v, slot=None):
+    """rtcInterpolate analog: (P, N) for positions, or the interpolated
+    vertex attribute when `slot` names one (rtcore.cpp interpolate)."""
+    return scene.interpolate(geom_id, prim_ids, u, v, slot=slot)
 
 
 def rtcGetSceneBounds(scene: Scene):

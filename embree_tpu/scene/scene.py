@@ -118,6 +118,8 @@ class Scene:
         self.progress_monitor: Optional[Callable[[float], bool]] = None
         self.build_time_s: float = 0.0
         self.subdiv_eval = {}  # gid -> SubdivEval (compressed mode)
+        self.subdiv_plan = {}  # gid -> SubdivisionPlan (attr interpolation)
+        self._attr_cache = {}  # (gid, slot) -> refined attribute array
         # intersection-filter callback (rtcSetGeometryIntersectFilterFunction
         # analog, scene-level): fn(org, dir, t, u, v, ng, geom, prim) -> keep
         self.intersection_filter = None
@@ -293,9 +295,12 @@ class Scene:
         compressed = None
         compressed_pallas = None
         self.subdiv_eval = {}
+        self.subdiv_plan = {}
+        self._attr_cache = {}
         if subdiv_compressed:
             from .subdiv_accel import build_compressed_accel
-            compressed, self.subdiv_eval, clo, chi = build_compressed_accel(
+            (compressed, self.subdiv_eval, self.subdiv_plan, clo,
+             chi) = build_compressed_accel(
                 subdiv_compressed, self.subdivision_level,
                 self.compression_level, self._subdiv_mode())
             from ..traverse.pallas_cbvh import pack_compressed
@@ -397,17 +402,77 @@ class Scene:
         cs = self._require_commit()
         return scene_occluded(cs, rays, isa=self.device.state.isa)
 
-    def interpolate(self, geom_id: int, prim_id, u, v):
-        """rtcInterpolate analog: limit position + smooth normal at
-        (face, u, v) of a subdiv geometry (rtcore.cpp interpolate path;
-        used for smooth shading of compressed hits,
-        viewer_device.cpp:284-295)."""
-        from .subdiv_accel import interpolate_subdiv
+    def interpolate(self, geom_id: int, prim_id, u, v, slot=None):
+        """rtcInterpolate analog: position + smooth normal at
+        (prim, u, v) (rtcore.cpp interpolate path; smooth shading of
+        compressed hits, viewer_device.cpp:284-295; vertex-attribute
+        interpolation per interpolation_device.cpp).
+
+        slot=None interpolates positions and returns (P, N); slot=k
+        interpolates vertex_attributes[k] and returns the attribute
+        value (for subdiv, smoothed through the same subdivision
+        stencils the limit surface uses)."""
+        from .geometry import QuadMesh, SubdivMesh, TriangleMesh
+        g = self.geometries.get(geom_id)
+        if isinstance(g, TriangleMesh):
+            arr = jnp.asarray(g.vertices if slot is None
+                              else g.vertex_attributes[slot], jnp.float32)
+            idx = jnp.asarray(g.indices)[jnp.asarray(prim_id)]
+            u = jnp.asarray(u, jnp.float32)[..., None]
+            v = jnp.asarray(v, jnp.float32)[..., None]
+            P = ((1.0 - u - v) * arr[idx[..., 0]] + u * arr[idx[..., 1]]
+                 + v * arr[idx[..., 2]])
+            if slot is not None:
+                return P
+            vtx = jnp.asarray(g.vertices, jnp.float32)
+            ng = jnp.cross(vtx[idx[..., 1]] - vtx[idx[..., 0]],
+                           vtx[idx[..., 2]] - vtx[idx[..., 0]])
+            n = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1,
+                                                 keepdims=True), 1e-20)
+            return P, n
+        if isinstance(g, QuadMesh):
+            arr = jnp.asarray(g.vertices if slot is None
+                              else g.vertex_attributes[slot], jnp.float32)
+            idx = jnp.asarray(g.indices)[jnp.asarray(prim_id)]
+            u = jnp.asarray(u, jnp.float32)[..., None]
+            v = jnp.asarray(v, jnp.float32)[..., None]
+            P = ((1 - u) * (1 - v) * arr[idx[..., 0]]
+                 + u * (1 - v) * arr[idx[..., 1]]
+                 + u * v * arr[idx[..., 2]]
+                 + (1 - u) * v * arr[idx[..., 3]])
+            if slot is not None:
+                return P
+            vtx = jnp.asarray(g.vertices, jnp.float32)
+            ng = jnp.cross(vtx[idx[..., 1]] - vtx[idx[..., 0]],
+                           vtx[idx[..., 3]] - vtx[idx[..., 0]])
+            n = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1,
+                                                 keepdims=True), 1e-20)
+            return P, n
+        if not isinstance(g, SubdivMesh):
+            self.device.raise_error(Error.INVALID_ARGUMENT,
+                                    f"geom {geom_id} not interpolatable")
+        from .subdiv_accel import (build_subdiv_geometry, grid_sample,
+                                   interpolate_subdiv)
         ev = self.subdiv_eval.get(geom_id)
         if ev is None:
-            self.device.raise_error(Error.INVALID_ARGUMENT,
-                                    f"geom {geom_id} has no eval data")
-        return interpolate_subdiv(ev, prim_id, u, v)
+            # stock (non-compressed) subdiv: build eval data lazily — the
+            # rtcInterpolate eval-tree path the tessellation cache backs
+            # in the reference
+            plan, _vd, _vu, _grids, ev = build_subdiv_geometry(
+                g, self.subdivision_level)
+            self.subdiv_eval[geom_id] = ev
+            self.subdiv_plan[geom_id] = plan
+        if slot is None:
+            return interpolate_subdiv(ev, prim_id, u, v)
+        from ..subdiv.core import evaluate_plan
+        key = (geom_id, slot)
+        refined = self._attr_cache.get(key)
+        if refined is None:
+            refined = jnp.asarray(evaluate_plan(
+                self.subdiv_plan[geom_id],
+                np.asarray(g.vertex_attributes[slot], np.float32)))
+            self._attr_cache[key] = refined
+        return grid_sample(ev, prim_id, u, v, refined)
 
     @property
     def bounds(self):
@@ -453,11 +518,15 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
     R = int(np.prod(shape)) if shape else 1
     if (not _sorted and R >= 8192
             and (_use_pallas(cs, isa) or _compressed_use_pallas(cs, isa))):
-        from ..traverse.stream import sort_rays
+        from ..traverse.stream import sort_rays_perm
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-        srays, inv = sort_rays(flat, cs.world_lower, cs.world_upper)
-        hits = scene_intersect(cs, srays, isa=isa, _sorted=True, time=time,
+        srays, perm, inv = sort_rays_perm(flat, cs.world_lower,
+                                          cs.world_upper)
+        stime = time
+        if time is not None and getattr(time, "ndim", 0) > 0:
+            stime = jnp.asarray(time).reshape(-1)[perm]  # co-sort ray times
+        hits = scene_intersect(cs, srays, isa=isa, _sorted=True, time=stime,
                                filter_fn=filter_fn)
         return jax.tree.map(
             lambda x: x[inv].reshape(shape + x.shape[1:]), hits)

@@ -136,16 +136,19 @@ def build_compressed_accel(subdiv_geoms, subdivision_level: int,
                            compression_level: int, mode: str):
     """Full compressed-accel build over all subdiv geometries.
 
-    Returns (CompressedAccel, {gid: SubdivEval}, world_lo, world_hi)."""
+    Returns (CompressedAccel, {gid: SubdivEval}, {gid: SubdivisionPlan},
+    world_lo, world_hi)."""
     from ..traverse.cbvh import CompressedAccel
 
     cl = min(max(int(compression_level), 1), 4, int(subdivision_level))
     tv, tu, uv0, uvd, gids, fids = [], [], [], [], [], []
     evals = {}
+    plans = {}
     for gid, mesh in subdiv_geoms:
-        _plan, vd, vu, grids, ev = build_subdiv_geometry(mesh,
-                                                         subdivision_level)
+        plan, vd, vu, grids, ev = build_subdiv_geometry(mesh,
+                                                        subdivision_level)
         evals[gid] = ev
+        plans[gid] = plan
         r = chop_tiles(grids, vd, vu, mesh.face_counts, cl, gid,
                        need_undisp=(mode == "leaf"))
         tv.append(r[0])
@@ -166,14 +169,13 @@ def build_compressed_accel(subdiv_geoms, subdivision_level: int,
     top_np = build_sah(result.world_lower, result.world_upper,
                        BuildSettings(min_leaf_size=1, max_leaf_size=1))
     accel = CompressedAccel(top=top_np.to_device(), tiles=result.tiles)
-    return (accel, evals,
+    return (accel, evals, plans,
             result.world_lower.min(0), result.world_upper.max(0))
 
 
-def interpolate_subdiv(ev: SubdivEval, face, u, v):
-    """rtcInterpolate analog on the subdivided grids: returns (P, N) at
-    patch-uv (face, u, v). Quad faces sample their single patch; n-gon
-    faces sample sub-patch 0 (uv encoding for n-gons TBD)."""
+def grid_sample(ev: SubdivEval, face, u, v, arr):
+    """Bilinear sample of a per-refined-vertex array at patch-uv
+    (face, u, v) through the evaluation grids."""
     G = ev.grid_res
     patch = ev.patch_of_face[face]
     fu = jnp.clip(u, 0.0, 1.0) * G
@@ -182,18 +184,22 @@ def interpolate_subdiv(ev: SubdivEval, face, u, v):
     j0 = jnp.clip(fv.astype(jnp.int32), 0, G - 1)
     du = fu - i0
     dv = fv - j0
-    def sample(arr):
-        a00 = arr[ev.grids[patch, i0, j0]]
-        a10 = arr[ev.grids[patch, i0 + 1, j0]]
-        a01 = arr[ev.grids[patch, i0, j0 + 1]]
-        a11 = arr[ev.grids[patch, i0 + 1, j0 + 1]]
-        w00 = ((1 - du) * (1 - dv))[..., None]
-        w10 = (du * (1 - dv))[..., None]
-        w01 = ((1 - du) * dv)[..., None]
-        w11 = (du * dv)[..., None]
-        return a00 * w00 + a10 * w10 + a01 * w01 + a11 * w11
+    a00 = arr[ev.grids[patch, i0, j0]]
+    a10 = arr[ev.grids[patch, i0 + 1, j0]]
+    a01 = arr[ev.grids[patch, i0, j0 + 1]]
+    a11 = arr[ev.grids[patch, i0 + 1, j0 + 1]]
+    w00 = ((1 - du) * (1 - dv))[..., None]
+    w10 = (du * (1 - dv))[..., None]
+    w01 = ((1 - du) * dv)[..., None]
+    w11 = (du * dv)[..., None]
+    return a00 * w00 + a10 * w10 + a01 * w01 + a11 * w11
 
-    P = sample(ev.verts)
-    N = sample(ev.normals)
+
+def interpolate_subdiv(ev: SubdivEval, face, u, v):
+    """rtcInterpolate analog on the subdivided grids: returns (P, N) at
+    patch-uv (face, u, v). Quad faces sample their single patch; n-gon
+    faces sample sub-patch 0 (uv encoding for n-gons TBD)."""
+    P = grid_sample(ev, face, u, v, ev.verts)
+    N = grid_sample(ev, face, u, v, ev.normals)
     N = N / jnp.maximum(jnp.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
     return P, N

@@ -43,7 +43,8 @@ def intersect_mb(accel: MBAccel, rays: Rays, time,
     tnear = rays.tnear.reshape(-1)
     tfar = rays.tfar.reshape(-1)
     R = tnear.shape[0]
-    tm = jnp.broadcast_to(jnp.asarray(time, jnp.float32), (R,))
+    tm = jnp.asarray(time, jnp.float32)
+    tm = jnp.broadcast_to(tm.reshape(-1) if tm.ndim > 1 else tm, (R,))
 
     rdir = rcp_safe(direction)
     org_rdir = org * rdir

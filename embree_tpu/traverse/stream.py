@@ -47,5 +47,19 @@ def sort_rays(rays: Rays, world_lower, world_upper):
     return Rays(org, d, tn, tf), inv
 
 
+@jax.jit
+def sort_rays_perm(rays: Rays, world_lower, world_upper):
+    """Like sort_rays but also returns the forward permutation, for
+    callers that must co-sort per-ray payloads (e.g. MB ray times)."""
+    keys = stream_sort_keys(rays, world_lower, world_upper)
+    perm = jnp.argsort(keys)
+    inv = jnp.argsort(perm)
+    org = rays.org.reshape(-1, 3)[perm]
+    d = rays.dir.reshape(-1, 3)[perm]
+    tn = rays.tnear.reshape(-1)[perm]
+    tf = rays.tfar.reshape(-1)[perm]
+    return Rays(org, d, tn, tf), perm, inv
+
+
 def unsort(x, inv):
     return x[inv]

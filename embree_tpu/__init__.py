@@ -20,7 +20,7 @@ Quick start::
 from .core.config import State
 from .core.device import Device, Error, RaytracerError
 from .core.rayhit import Hits, INVALID_ID, Rays, make_rays, miss_hits
-from .scene.curves import BezierCurves, LineSegments
+from .scene.curves import BezierCurves, BSplineCurves, LineSegments
 from .scene.geometry import (Geometry, Instance, QuadMesh, SubdivMesh,
                              TriangleMesh, TriangleMeshMB, UserGeometry)
 from .scene.scene import (BuildQuality, CommittedScene, Scene, scene_intersect,
@@ -32,7 +32,8 @@ __all__ = [
     "State", "Device", "Error", "RaytracerError",
     "Rays", "Hits", "make_rays", "miss_hits", "INVALID_ID",
     "Geometry", "TriangleMesh", "QuadMesh", "SubdivMesh", "Instance",
-    "UserGeometry", "LineSegments", "BezierCurves", "TriangleMeshMB",
+    "UserGeometry", "LineSegments", "BezierCurves", "BSplineCurves",
+    "TriangleMeshMB",
     "Scene", "BuildQuality", "CommittedScene",
     "scene_intersect", "scene_occluded",
 ]

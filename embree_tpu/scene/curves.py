@@ -76,6 +76,47 @@ class BezierCurves(Geometry):
         return p0, p1, prim, u0, du
 
 
+class BSplineCurves(Geometry):
+    """RTC_GEOMETRY_TYPE_*_BSPLINE_CURVE (kernels/subdiv/bspline_curve.h).
+
+    Uniform cubic B-spline over (V, 4) xyzr control points; indices (C,)
+    give the first of 4 consecutive control points per curve (so a shared
+    control polygon yields C1-continuous hair, as in
+    curve_geometry_device.cpp:66-76)."""
+
+    def __init__(self, vertices, indices, tessellation_rate: int = 8):
+        super().__init__()
+        self.vertices = np.asarray(vertices, np.float32)
+        self.indices = np.asarray(indices, np.int32)
+        self.tessellation_rate = int(tessellation_rate)
+
+    @property
+    def num_prims(self) -> int:
+        return int(self.indices.shape[0])
+
+    def to_segments(self):
+        """Uniform cubic B-spline basis (bspline_curve.h BSplineBasis):
+        N0..N3 over t in [0,1), tessellated into R round segments."""
+        v = self.vertices
+        i = self.indices
+        R = self.tessellation_rate
+        c0, c1, c2, c3 = v[i], v[i + 1], v[i + 2], v[i + 3]  # (C, 4)
+        ts = np.linspace(0.0, 1.0, R + 1, dtype=np.float32)[:, None, None]
+        t2, t3 = ts * ts, ts * ts * ts
+        n0 = (1 - 3 * ts + 3 * t2 - t3) / 6.0
+        n1 = (4 - 6 * t2 + 3 * t3) / 6.0
+        n2 = (1 + 3 * ts + 3 * t2 - 3 * t3) / 6.0
+        n3 = t3 / 6.0
+        b = n0 * c0 + n1 * c1 + n2 * c2 + n3 * c3  # (R+1, C, 4)
+        p0 = b[:-1].transpose(1, 0, 2).reshape(-1, 4)
+        p1 = b[1:].transpose(1, 0, 2).reshape(-1, 4)
+        C = i.shape[0]
+        prim = np.repeat(np.arange(C, dtype=np.int32), R)
+        u0 = np.tile(ts[:-1, 0, 0], C).astype(np.float32)
+        du = np.full(C * R, 1.0 / R, np.float32)
+        return p0, p1, prim, u0, du
+
+
 def segment_bounds(p0: np.ndarray, p1: np.ndarray):
     lo = np.minimum(p0[:, :3] - p0[:, 3:4], p1[:, :3] - p1[:, 3:4])
     hi = np.maximum(p0[:, :3] + p0[:, 3:4], p1[:, :3] + p1[:, 3:4])

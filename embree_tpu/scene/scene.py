@@ -31,7 +31,7 @@ from ..core.device import Device, Error
 from ..core.rayhit import Hits, Rays
 from ..scene.geometry import (Geometry, Instance, QuadMesh, SubdivMesh,
                               TriangleMesh, TriangleMeshMB, UserGeometry)
-from ..scene.curves import BezierCurves, LineSegments
+from ..scene.curves import BezierCurves, BSplineCurves, LineSegments
 from ..scene.prims import TrianglePrims, empty_triangle_prims, prim_bounds_np
 from ..traverse.packet import (intersect_chunked, intersect_packet,
                                occluded_chunked, occluded_packet)
@@ -240,7 +240,7 @@ class Scene:
                                backend=self.device.state.builder)
                 user_bvhs.append(ub.to_device())
                 users.append((gid, g.num_prims, g.intersect_fn, None))
-            elif isinstance(g, (LineSegments, BezierCurves)):
+            elif isinstance(g, (LineSegments, BezierCurves, BSplineCurves)):
                 # curves ride the callback-accel machinery over tessellated
                 # round segments (scene/curves.py)
                 from .curves import make_segment_intersector, segment_bounds

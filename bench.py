@@ -36,7 +36,7 @@ def main() -> int:
     scene.attach(et.TriangleMesh(verts, idx))
     cs = scene.commit()
 
-    n = 65536
+    n = 1 << 20
     d = rng.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     org = rng.uniform(-3.0, 3.0, (n, 3)).astype(np.float32)
@@ -63,7 +63,7 @@ def main() -> int:
 
     out = jax.block_until_ready(f(vparam, cs, rays))  # warmup/compile
     assert np.isfinite(float(out[0]))
-    reps = 16
+    reps = 8
     t0 = time.perf_counter()
     outs = [f(vparam, cs, rays) for _ in range(reps)]
     jax.block_until_ready(outs)

@@ -523,6 +523,20 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
         srays, perm, inv = sort_rays_perm(flat, cs.world_lower,
                                           cs.world_upper)
+        # triangle-only scenes: run the kernel sorted, unsort just the
+        # (t, prim) pair — TPU gathers dominate this path, so 2 gathers
+        # instead of the Hits pytree's ~10 — then finalize against the
+        # ORIGINAL ray order (u/v/Ng recomputed from prim anyway)
+        if (_use_pallas(cs, isa) and filter_fn is None
+                and cs.compressed is None and cs.mb is None
+                and not cs.users and not cs.instances):
+            from ..traverse.packet import _finalize_hits
+            from ..traverse.pallas_packet import intersect_pallas_raw
+            t_s, prim_s = intersect_pallas_raw(
+                cs.pallas, srays, interpret=_pallas_interpret())
+            h = _finalize_hits(cs.tris, flat, t_s[inv], prim_s[inv])
+            return jax.tree.map(
+                lambda x: x.reshape(shape + x.shape[1:]), h)
         stime = time
         if time is not None and getattr(time, "ndim", 0) > 0:
             stime = jnp.asarray(time).reshape(-1)[perm]  # co-sort ray times

@@ -289,6 +289,252 @@ def _traversal_kernel(occluded: bool, sub: int = DEFAULT_SUB):
     return kernel
 
 
+SENT = np.int32(-2 ** 31)       # chain-finished sentinel (v2 kernel)
+
+
+def _traversal_kernel_v2(occluded: bool, sub: int = DEFAULT_SUB,
+                         chains: int = 2):
+    """v2 kernel: unified node/leaf stack + interleaved chains.
+
+    Two latency sinks dominate v1 (~0.9us per pop on v5e): the node-row
+    DMA round trip and the 4 cross-lane min-reductions per pop; leaf
+    visits stall a further un-prefetched 2-row DMA.  v2 fixes both:
+
+      * Leaves live ON the stack as encoded refs (-((start<<4|cnt)+1) —
+        embree's tagged NodeRef, bvh.h:118-141), so the next entry's row
+        (node OR leaf pair) is always prefetched one iteration ahead.
+      * The packet is split into `chains` independent sub-packets, each
+        with its own stack, interleaved in one loop body: chain B's
+        vector work overlaps chain A's DMA + reduction latency, and the
+        smaller (sub/chains, 128) tiles cut per-reduction latency.
+    """
+    csub = sub // chains
+    assert csub * chains == sub
+
+    def kernel(params, nodes, tdata,
+               ox, oy, oz, dx, dy, dz, tn, tf,
+               t_out, prim_out, stats_out,
+               stack, nrow, lbuf, nsem, lsem):
+        max_iters = params[0]
+
+        # per-chain ray tile slices (static)
+        def sl(a, ci):
+            return a[ci * csub:(ci + 1) * csub]
+
+        pre = []
+        for ci in range(chains):
+            rdx = _rcp_safe(sl(dx, ci)); rdy = _rcp_safe(sl(dy, ci))
+            rdz = _rcp_safe(sl(dz, ci))
+            pre.append(dict(
+                rdx=rdx, rdy=rdy, rdz=rdz,
+                orx=sl(ox, ci) * rdx, ory=sl(oy, ci) * rdy,
+                orz=sl(oz, ci) * rdz,
+                o=(sl(ox, ci), sl(oy, ci), sl(oz, ci)),
+                d=(sl(dx, ci), sl(dy, ci), sl(dz, ci)),
+                tnear=sl(tn, ci)))
+
+        def node_dma(ci, slot, node):
+            return pltpu.make_async_copy(nodes.at[node],
+                                         nrow.at[2 * ci + slot],
+                                         nsem.at[2 * ci + slot])
+
+        def leaf_dma(ci, slot, row):
+            return pltpu.make_async_copy(tdata.at[pl.ds(row, 2)],
+                                         lbuf.at[2 * ci + slot],
+                                         lsem.at[2 * ci + slot])
+
+        def wait_cur(ci, slot, cur):
+            @pl.when(cur >= 0)
+            def _():
+                node_dma(ci, slot, cur).wait()
+
+            @pl.when((cur < 0) & (cur != SENT))
+            def _():
+                v = -cur - 1
+                leaf_dma(ci, slot, (v >> 4) // NT_PER_ROW).wait()
+
+        def start_nxt(ci, slot, nxt):
+            @pl.when(nxt >= 0)
+            def _():
+                node_dma(ci, slot, nxt).start()
+
+            @pl.when((nxt < 0) & (nxt != SENT))
+            def _():
+                v = -nxt - 1
+                leaf_dma(ci, slot, (v >> 4) // NT_PER_ROW).start()
+
+        def mt_leaf(ci, slot, cur, t, prim):
+            v = -cur - 1
+            start = v >> 4
+            cnt = v & 15
+            row = start // NT_PER_ROW
+            o_x, o_y, o_z = pre[ci]["o"]
+            d_x, d_y, d_z = pre[ci]["d"]
+            tnear = pre[ci]["tnear"]
+            b = 2 * ci + slot
+
+            def body(i, carry):
+                t, prim = carry
+                p = start + i
+                rr = p // NT_PER_ROW - row
+                tc = (p % NT_PER_ROW) * 12
+                v0x = lbuf[b, rr, tc + 0]; v0y = lbuf[b, rr, tc + 1]
+                v0z = lbuf[b, rr, tc + 2]
+                v1x = lbuf[b, rr, tc + 3]; v1y = lbuf[b, rr, tc + 4]
+                v1z = lbuf[b, rr, tc + 5]
+                v2x = lbuf[b, rr, tc + 6]; v2y = lbuf[b, rr, tc + 7]
+                v2z = lbuf[b, rr, tc + 8]
+                e1x = v0x - v1x; e1y = v0y - v1y; e1z = v0z - v1z
+                e2x = v2x - v0x; e2y = v2y - v0y; e2z = v2z - v0z
+                ngx = e2y * e1z - e2z * e1y
+                ngy = e2z * e1x - e2x * e1z
+                ngz = e2x * e1y - e2y * e1x
+                cx = v0x - o_x; cy = v0y - o_y; cz = v0z - o_z
+                rx = cy * d_z - cz * d_y
+                ry = cz * d_x - cx * d_z
+                rz = cx * d_y - cy * d_x
+                den = ngx * d_x + ngy * d_y + ngz * d_z
+                absden = jnp.abs(den)
+                sgn = jnp.where(den >= 0.0, 1.0, -1.0)
+                u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
+                v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
+                t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
+                ok = (den != 0.0) & (u_s >= 0.0) & (v_s >= 0.0) \
+                    & (u_s + v_s <= absden) \
+                    & (absden * tnear < t_s) & (t_s <= absden * t)
+                if occluded:
+                    return jnp.where(ok, -INF, t), prim
+                t_hit = t_s / jnp.maximum(absden, 1e-37)
+                return jnp.where(ok, t_hit, t), jnp.where(ok, p, prim)
+
+            return jax.lax.fori_loop(0, jnp.minimum(cnt, MAX_LEAF), body,
+                                     (t, prim))
+
+        def chain_step(ci, slot, sp, cur, t, prim, ltests):
+            wait_cur(ci, slot, cur)
+            p = pre[ci]
+
+            # box tests against the node row (garbage when cur is a
+            # leaf/sentinel — pushes are masked below)
+            b = 2 * ci + slot
+            keys, refs, pushes = [], [], []
+            is_node = cur >= 0
+            for c in range(4):
+                lox = nrow[b, 0 + c]; loy = nrow[b, 4 + c]
+                loz = nrow[b, 8 + c]
+                hix = nrow[b, 12 + c]; hiy = nrow[b, 16 + c]
+                hiz = nrow[b, 20 + c]
+                tx0 = lox * p["rdx"] - p["orx"]
+                tx1 = hix * p["rdx"] - p["orx"]
+                ty0 = loy * p["rdy"] - p["ory"]
+                ty1 = hiy * p["rdy"] - p["ory"]
+                tz0 = loz * p["rdz"] - p["orz"]
+                tz1 = hiz * p["rdz"] - p["orz"]
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                               jnp.minimum(ty0, ty1)),
+                                   jnp.minimum(tz0, tz1)) * ROBUST_MIN
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                               jnp.maximum(ty0, ty1)),
+                                   jnp.maximum(tz0, tz1)) * ROBUST_MAX
+                tmin = jnp.maximum(tmin, p["tnear"])
+                hitm = (tmin <= tmax) & (tmin <= t)
+                dist = jnp.min(jnp.where(hitm, tmin, INF))
+                any_hit = is_node & (dist < INF)
+
+                cc = nrow[b, 24 + c].astype(jnp.int32)
+                cnt = nrow[b, 28 + c].astype(jnp.int32)
+                ref = jnp.where(cnt > 0, -(((cc << 4) | cnt) + 1), cc)
+                keys.append(jnp.where(any_hit & (cnt >= 0), dist, -INF))
+                refs.append(ref)
+                pushes.append(any_hit & (cnt >= 0))
+
+            for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                swap = keys[i] < keys[j]
+                keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
+                                    jnp.where(swap, keys[i], keys[j]))
+                refs[i], refs[j] = (jnp.where(swap, refs[j], refs[i]),
+                                    jnp.where(swap, refs[i], refs[j]))
+                pushes[i], pushes[j] = (
+                    jnp.where(swap, pushes[j], pushes[i]),
+                    jnp.where(swap, pushes[i], pushes[j]))
+            for k in range(4):
+                sp_k = sp
+
+                @pl.when(pushes[k])
+                def _(sp_k=sp_k, k=k):
+                    stack[ci, sp_k] = refs[k]
+
+                sp = sp + pushes[k].astype(jnp.int32)
+
+            # leaf intersection (prefetched rows already in lbuf)
+            is_leaf = (cur < 0) & (cur != SENT)
+            t, prim = jax.lax.cond(
+                is_leaf,
+                lambda tp: mt_leaf(ci, slot, cur, *tp),
+                lambda tp: tp, (t, prim))
+            ltests = ltests + jnp.where(is_leaf, (-cur - 1) & 15, 0)
+
+            nxt = jnp.where(sp > 0, stack[ci, jnp.maximum(sp - 1, 0)],
+                            SENT)
+            start_nxt(ci, 1 - slot, nxt)
+            sp = jnp.maximum(sp - 1, 0)
+            return sp, nxt, t, prim, ltests
+
+        def step(carry):
+            sps, curs, ts, prims, iters, ltests = carry
+            slot = iters % 2
+            new_sps, new_curs, new_ts, new_prims = [], [], [], []
+            for ci in range(chains):
+                sp, nxt, t, prim, ltests = chain_step(
+                    ci, slot, sps[ci], curs[ci], ts[ci], prims[ci],
+                    ltests)
+                new_sps.append(sp)
+                new_curs.append(nxt)
+                new_ts.append(t)
+                new_prims.append(prim)
+            return (tuple(new_sps), tuple(new_curs), tuple(new_ts),
+                    tuple(new_prims), iters + 1, ltests)
+
+        if occluded:
+            def cond(carry):
+                live = jnp.array(False)
+                for ci in range(chains):
+                    live = live | (jnp.max(carry[2][ci]) > -INF)
+                any_work = jnp.array(False)
+                for ci in range(chains):
+                    any_work = any_work | (carry[1][ci] != SENT)
+                return any_work & live & (carry[4] < max_iters)
+        else:
+            def cond(carry):
+                any_work = jnp.array(False)
+                for ci in range(chains):
+                    any_work = any_work | (carry[1][ci] != SENT)
+                return any_work & (carry[4] < max_iters)
+
+        for ci in range(chains):
+            node_dma(ci, 0, 0).start()  # warm both chains at the root
+        init = (tuple(jnp.int32(0) for _ in range(chains)),
+                tuple(jnp.int32(0) for _ in range(chains)),
+                tuple(sl(tf, ci)[:] for ci in range(chains)),
+                tuple(jnp.full((csub, 128), -1, jnp.int32)
+                      for _ in range(chains)),
+                jnp.int32(0), jnp.int32(0))
+        sps, curs, ts, prims, iters, ltests = jax.lax.while_loop(
+            cond, step, init)
+        # drain outstanding prefetches (one per live chain)
+        for ci in range(chains):
+            wait_cur(ci, iters % 2, curs[ci])
+
+        for ci in range(chains):
+            t_out[ci * csub:(ci + 1) * csub] = ts[ci]
+            prim_out[ci * csub:(ci + 1) * csub] = prims[ci]
+        bid = pl.program_id(0)
+        stats_out[bid, 0] = iters
+        stats_out[bid, 1] = ltests
+
+    return kernel
+
+
 _BLOCK_BUCKETS = (1, 4, 16, 64, 256, 1024, 4096)
 
 
@@ -355,7 +601,259 @@ def _pallas_call(occluded: bool, num_blocks: int, interpret: bool,
     )
 
 
+def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
+                         K: int = 4):
+    """v3 kernel: unified node/leaf stack + K-wide pops.
+
+    v1/v2 profiling on v5e shows per-pop cost is the serial chain
+    (DMA wait -> 4 cross-lane reductions -> scalar pushes), not VPU
+    throughput.  v3 pops up to K stack refs per iteration, launches all
+    their row DMAs back-to-back, then processes them in sequence: the
+    DMA latency is paid once per iteration (amortized K ways) and the
+    4*K reductions issue as independent chains the VPU can pipeline.
+    Leaves ride the stack as tagged refs (embree NodeRef, bvh.h:118-141)
+    so leaf rows batch the same way."""
+
+    def kernel(params, nodes, tdata,
+               ox, oy, oz, dx, dy, dz, tn, tf,
+               t_out, prim_out, stats_out,
+               stack, nrow, lbuf, nsem, lsem):
+        max_iters = params[0]
+        rdx = _rcp_safe(dx[:]); rdy = _rcp_safe(dy[:]); rdz = _rcp_safe(dz[:])
+        orx = ox[:] * rdx; ory = oy[:] * rdy; orz = oz[:] * rdz
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        tnear = tn[:]
+
+        def node_dma(i, node):
+            return pltpu.make_async_copy(nodes.at[node], nrow.at[i],
+                                         nsem.at[i])
+
+        def leaf_dma(i, row):
+            return pltpu.make_async_copy(tdata.at[pl.ds(row, 2)],
+                                         lbuf.at[i], lsem.at[i])
+
+        def start_ref(i, ref):
+            @pl.when(ref >= 0)
+            def _():
+                node_dma(i, ref).start()
+
+            @pl.when((ref < 0) & (ref != SENT))
+            def _():
+                v = -ref - 1
+                leaf_dma(i, (v >> 4) // NT_PER_ROW).start()
+
+        def wait_ref(i, ref):
+            @pl.when(ref >= 0)
+            def _():
+                node_dma(i, ref).wait()
+
+            @pl.when((ref < 0) & (ref != SENT))
+            def _():
+                v = -ref - 1
+                leaf_dma(i, (v >> 4) // NT_PER_ROW).wait()
+
+        def mt_leaf(i, ref, t, prim):
+            v = -ref - 1
+            start = v >> 4
+            cnt = v & 15
+            row = start // NT_PER_ROW
+
+            def body(k, carry):
+                t, prim = carry
+                p = start + k
+                rr = p // NT_PER_ROW - row
+                tc = (p % NT_PER_ROW) * 12
+                v0x = lbuf[i, rr, tc + 0]; v0y = lbuf[i, rr, tc + 1]
+                v0z = lbuf[i, rr, tc + 2]
+                v1x = lbuf[i, rr, tc + 3]; v1y = lbuf[i, rr, tc + 4]
+                v1z = lbuf[i, rr, tc + 5]
+                v2x = lbuf[i, rr, tc + 6]; v2y = lbuf[i, rr, tc + 7]
+                v2z = lbuf[i, rr, tc + 8]
+                e1x = v0x - v1x; e1y = v0y - v1y; e1z = v0z - v1z
+                e2x = v2x - v0x; e2y = v2y - v0y; e2z = v2z - v0z
+                ngx = e2y * e1z - e2z * e1y
+                ngy = e2z * e1x - e2x * e1z
+                ngz = e2x * e1y - e2y * e1x
+                cx = v0x - o_x; cy = v0y - o_y; cz = v0z - o_z
+                rx = cy * d_z - cz * d_y
+                ry = cz * d_x - cx * d_z
+                rz = cx * d_y - cy * d_x
+                den = ngx * d_x + ngy * d_y + ngz * d_z
+                absden = jnp.abs(den)
+                sgn = jnp.where(den >= 0.0, 1.0, -1.0)
+                u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
+                v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
+                t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
+                ok = (den != 0.0) & (u_s >= 0.0) & (v_s >= 0.0) \
+                    & (u_s + v_s <= absden) \
+                    & (absden * tnear < t_s) & (t_s <= absden * t)
+                if occluded:
+                    return jnp.where(ok, -INF, t), prim
+                t_hit = t_s / jnp.maximum(absden, 1e-37)
+                return jnp.where(ok, t_hit, t), jnp.where(ok, p, prim)
+
+            return jax.lax.fori_loop(0, jnp.minimum(cnt, MAX_LEAF), body,
+                                     (t, prim))
+
+        def process_node(i, t, prim, sp):
+            keys, refs, pushes = [], [], []
+            for c in range(4):
+                lox = nrow[i, 0 + c]; loy = nrow[i, 4 + c]
+                loz = nrow[i, 8 + c]
+                hix = nrow[i, 12 + c]; hiy = nrow[i, 16 + c]
+                hiz = nrow[i, 20 + c]
+                tx0 = lox * rdx - orx; tx1 = hix * rdx - orx
+                ty0 = loy * rdy - ory; ty1 = hiy * rdy - ory
+                tz0 = loz * rdz - orz; tz1 = hiz * rdz - orz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                               jnp.minimum(ty0, ty1)),
+                                   jnp.minimum(tz0, tz1)) * ROBUST_MIN
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                               jnp.maximum(ty0, ty1)),
+                                   jnp.maximum(tz0, tz1)) * ROBUST_MAX
+                tmin = jnp.maximum(tmin, tnear)
+                hitm = (tmin <= tmax) & (tmin <= t)
+                dist = jnp.min(jnp.where(hitm, tmin, INF))
+                cc = nrow[i, 24 + c].astype(jnp.int32)
+                cnt = nrow[i, 28 + c].astype(jnp.int32)
+                ok = (dist < INF) & (cnt >= 0)
+                ref = jnp.where(cnt > 0, -(((cc << 4) | cnt) + 1), cc)
+                keys.append(jnp.where(ok, dist, -INF))
+                refs.append(ref)
+                pushes.append(ok)
+            for (a, b) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                swap = keys[a] < keys[b]
+                keys[a], keys[b] = (jnp.where(swap, keys[b], keys[a]),
+                                    jnp.where(swap, keys[a], keys[b]))
+                refs[a], refs[b] = (jnp.where(swap, refs[b], refs[a]),
+                                    jnp.where(swap, refs[a], refs[b]))
+                pushes[a], pushes[b] = (
+                    jnp.where(swap, pushes[b], pushes[a]),
+                    jnp.where(swap, pushes[a], pushes[b]))
+            for k in range(4):
+                sp_k = sp
+
+                @pl.when(pushes[k])
+                def _(sp_k=sp_k, k=k):
+                    stack[sp_k] = refs[k]
+
+                sp = sp + pushes[k].astype(jnp.int32)
+            return t, prim, sp
+
+        def step(carry):
+            sp, t, prim, iters, ltests = carry
+            npop = jnp.minimum(sp, K)
+            refs = []
+            for i in range(K):
+                r = jnp.where(i < npop, stack[jnp.maximum(sp - 1 - i, 0)],
+                              SENT)
+                refs.append(r)
+                start_ref(i, r)
+            sp = sp - npop
+            for i in range(K):
+                wait_ref(i, refs[i])
+                is_node = refs[i] >= 0
+                is_leaf = (refs[i] < 0) & (refs[i] != SENT)
+                t, prim, sp = jax.lax.cond(
+                    is_node,
+                    lambda a, i=i: process_node(i, *a),
+                    lambda a: a, (t, prim, sp))
+                t, prim = jax.lax.cond(
+                    is_leaf,
+                    lambda tp, i=i: mt_leaf(i, refs[i], *tp),
+                    lambda tp: tp, (t, prim))
+                ltests = ltests + jnp.where(is_leaf,
+                                            (-refs[i] - 1) & 15, 0)
+            return sp, t, prim, iters + 1, ltests
+
+        if occluded:
+            def cond(carry):
+                live = jnp.max(carry[1]) > -INF
+                return (carry[0] > 0) & live & (carry[3] < max_iters)
+        else:
+            def cond(carry):
+                return (carry[0] > 0) & (carry[3] < max_iters)
+
+        stack[0] = 0  # root
+        prim0 = jnp.full((sub, 128), -1, jnp.int32)
+        sp, t, prim, iters, ltests = jax.lax.while_loop(
+            cond, step,
+            (jnp.int32(1), tf[:], prim0, jnp.int32(0), jnp.int32(0)))
+
+        t_out[:] = t
+        prim_out[:] = prim
+        bid = pl.program_id(0)
+        stats_out[bid, 0] = iters
+        stats_out[bid, 1] = ltests
+
+    return kernel
+
+
+def _pallas_call_v3(occluded: bool, num_blocks: int, interpret: bool,
+                    sub: int = DEFAULT_SUB, tables_in_hbm: bool = False,
+                    K: int = 4):
+    table_spec = pl.BlockSpec(memory_space=pltpu.ANY if tables_in_hbm
+                              else pltpu.VMEM)
+    tile = (sub, 128)
+    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _traversal_kernel_v3(occluded, sub, K),
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  table_spec, table_spec] + [ray_spec] * 8,
+        out_specs=(ray_spec, ray_spec,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((K, 128), jnp.float32),
+            pltpu.SMEM((K, 2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((K,)),
+            pltpu.SemaphoreType.DMA((K,)),
+        ],
+        interpret=interpret,
+    )
+
+
+def _pallas_call_v2(occluded: bool, num_blocks: int, interpret: bool,
+                    sub: int = DEFAULT_SUB, tables_in_hbm: bool = False,
+                    chains: int = 2):
+    table_spec = pl.BlockSpec(memory_space=pltpu.ANY if tables_in_hbm
+                              else pltpu.VMEM)
+    tile = (sub, 128)
+    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _traversal_kernel_v2(occluded, sub, chains),
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  table_spec, table_spec] + [ray_spec] * 8,
+        out_specs=(ray_spec, ray_spec,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((chains, STACK_DEPTH), jnp.int32),
+            pltpu.SMEM((2 * chains, 128), jnp.float32),
+            pltpu.SMEM((2 * chains, 2, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * chains,)),
+            pltpu.SemaphoreType.DMA((2 * chains,)),
+        ],
+        interpret=interpret,
+    )
+
+
 VMEM_TABLE_BUDGET = 12 * 1024 * 1024
+
+
+POP_WIDTH = 8  # v3 kernel multi-pop width (sweep-tuned on v5e)
 
 
 @functools.partial(jax.jit,
@@ -364,8 +862,8 @@ def _run_intersect(ps: PallasScene, tiles, num_blocks: int, interpret=False,
                    sub: int = DEFAULT_SUB):
     params = jnp.asarray([262144], jnp.int32)
     hbm = ps.vmem_bytes > VMEM_TABLE_BUDGET
-    return _pallas_call(False, num_blocks, interpret, sub, hbm)(
-        params, ps.nodes, ps.tdata, *tiles)
+    return _pallas_call_v3(False, num_blocks, interpret, sub, hbm,
+                           POP_WIDTH)(params, ps.nodes, ps.tdata, *tiles)
 
 
 @functools.partial(jax.jit,
@@ -374,8 +872,8 @@ def _run_occluded(ps: PallasScene, tiles, num_blocks: int, interpret=False,
                   sub: int = DEFAULT_SUB):
     params = jnp.asarray([262144], jnp.int32)
     hbm = ps.vmem_bytes > VMEM_TABLE_BUDGET
-    return _pallas_call(True, num_blocks, interpret, sub, hbm)(
-        params, ps.nodes, ps.tdata, *tiles)
+    return _pallas_call_v3(True, num_blocks, interpret, sub, hbm,
+                           POP_WIDTH)(params, ps.nodes, ps.tdata, *tiles)
 
 
 @functools.partial(jax.jit, static_argnames=("R",))
@@ -399,6 +897,22 @@ def intersect_pallas(ps: PallasScene, tris: TrianglePrims, rays: Rays,
     t_o, prim_o, _stats = _run_intersect(ps, tiles, nb, interpret,
                                          DEFAULT_SUB)
     return _finalize_pallas(ps, tris, rays, t_o, prim_o, R)
+
+
+def intersect_pallas_raw(ps: PallasScene, rays: Rays,
+                         interpret: bool = False):
+    """Kernel-only entry: returns flat (t, prim) in ORIGINAL prim ids,
+    without hit finalization. Lets the sorted stream path unsort just two
+    arrays (TPU gathers are expensive) and finalize against the unsorted
+    rays."""
+    tiles, R, nb = _ray_tiles(rays, DEFAULT_SUB)
+    t_o, prim_o, _stats = _run_intersect(ps, tiles, nb, interpret,
+                                         DEFAULT_SUB)
+    t = t_o.reshape(-1)[:R]
+    prim_bvh = prim_o.reshape(-1)[:R]
+    prim = jnp.where(prim_bvh >= 0,
+                     ps.bvh_to_orig[jnp.maximum(prim_bvh, 0)], -1)
+    return t, prim
 
 
 def occluded_pallas(ps: PallasScene, rays: Rays,

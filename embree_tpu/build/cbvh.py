@@ -138,7 +138,7 @@ class CompressedTiles:
 
     def __init__(self, space, proj, iproj, frustum, nodes, nodes_full,
                  uv0, uvd, geom_id, prim_id, leaf_z, extent, grid,
-                 comp_level, mode):
+                 comp_level, mode, flavor="com"):
         self.space = space        # (T, 3, 3) world->local frame
         self.proj = proj          # (T, 3, 3) homography
         self.iproj = iproj        # (T, 3, 3) inverse
@@ -154,6 +154,7 @@ class CompressedTiles:
         self.grid = grid          # (T, g+1, g+1, 3) world grid ('grid')
         self.comp_level = comp_level
         self.mode = mode          # 'box' | 'leaf' | 'grid' | 'full'
+        self.flavor = flavor      # 'com' (4 B) | 'non' (8 B) | 'mid' (2 B)
 
     @property
     def num_tiles(self):
@@ -161,11 +162,12 @@ class CompressedTiles:
 
     def tree_flatten(self):
         return ([getattr(self, k) for k in self._ARRAYS],
-                (self.comp_level, self.mode))
+                (self.comp_level, self.mode, self.flavor))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, comp_level=aux[0], mode=aux[1])
+        return cls(*children, comp_level=aux[0], mode=aux[1],
+                   flavor=aux[2] if len(aux) > 2 else "com")
 
 
 @dataclasses.dataclass
@@ -193,7 +195,8 @@ def build_compressed_tiles(tile_verts: np.ndarray,
                            tile_verts_undisp: Optional[np.ndarray],
                            tile_uv0: np.ndarray, tile_uvd: np.ndarray,
                            geom_id: np.ndarray, prim_id: np.ndarray,
-                           comp_level: int, mode: str) -> CompressedBuildResult:
+                           comp_level: int, mode: str,
+                           flavor: str = "com") -> CompressedBuildResult:
     """Build all tiles at once.
 
     tile_verts: (T, g+1, g+1, 3) displaced local-grid vertices, i along u.
@@ -201,6 +204,7 @@ def build_compressed_tiles(tile_verts: np.ndarray,
     mode, compressed.h:100-117); None -> use displaced.
     """
     assert mode in ("box", "leaf", "grid", "full")
+    assert flavor in ("com", "non", "mid")
     T = tile_verts.shape[0]
     g = 1 << comp_level
     assert tile_verts.shape[1] == g + 1
@@ -276,7 +280,11 @@ def build_compressed_tiles(tile_verts: np.ndarray,
     # levels_lo[0] = root (T, 1, 3) ... levels_lo[-1] = leaves
 
     # --- top-down encode vs reconstructed parents (compressed.h:223-252) --
-    nodes = np.zeros((T, max(n_nodes, 1), 4), np.int64)
+    # node flavors (compressed_node.h): 'com' 4 B shared split planes,
+    # 'non' 8 B independent per-child planes (:298-369, :516-658),
+    # 'mid' 2 B inner planes only (:241-260); 'full'/ref handled below.
+    W = {"com": 4, "non": 8, "mid": 2}[flavor]
+    nodes = np.zeros((T, max(n_nodes, 1), W), np.int64)
     curr = 0
     for lvl in range(len(levels_lo) - 1):
         plo, phi = levels_lo[lvl], levels_hi[lvl]           # (T, K, 3)
@@ -287,7 +295,50 @@ def build_compressed_tiles(tile_verts: np.ndarray,
         dim = phi - plo
         F = np.where(np.isfinite(1.0 / np.maximum(dim, 1e-38)) & (dim > 0),
                      1.0 / np.maximum(dim, 1e-38), np.finfo(np.float32).tiny)
-        # children morton order: 0=(0,0) 1=(1,0) 2=(0,1) 3=(1,1)
+
+        if flavor == "non":
+            # independent per-child quantized planes: border table on the
+            # outer plane of each quadrant, mid table on the inner
+            # (Node<non>::setAABB compressed_node.h:524-576)
+            rel_lo = np.zeros((T, K, 4, 3), np.float32)
+            rel_hi = np.zeros((T, K, 4, 3), np.float32)
+            for c in range(4):
+                qx, qy = c & 1, (c >> 1) & 1
+                t_minx = TABLE_MID if qx else TABLE_BORDER
+                t_maxx = TABLE_BORDER if qx else TABLE_MID
+                t_miny = TABLE_MID if qy else TABLE_BORDER
+                t_maxy = TABLE_BORDER if qy else TABLE_MID
+                iminx = lookup_idx(t_minx,
+                                   (clo[:, :, c, 0] - plo[:, :, 0]) * F[:, :, 0])
+                imaxx = lookup_idx(t_maxx,
+                                   (phi[:, :, 0] - chi[:, :, c, 0]) * F[:, :, 0])
+                iminy = lookup_idx(t_miny,
+                                   (clo[:, :, c, 1] - plo[:, :, 1]) * F[:, :, 1])
+                imaxy = lookup_idx(t_maxy,
+                                   (phi[:, :, 1] - chi[:, :, c, 1]) * F[:, :, 1])
+                iminz = lookup_idx(TABLE_Z,
+                                   (clo[:, :, c, 2] - plo[:, :, 2]) * F[:, :, 2])
+                imaxz = lookup_idx(TABLE_Z,
+                                   (phi[:, :, 2] - chi[:, :, c, 2]) * F[:, :, 2])
+                nodes[:, curr:curr + K, 2 * c] = \
+                    (iminx << 5) | (imaxx << 2) | iminz
+                nodes[:, curr:curr + K, 2 * c + 1] = \
+                    (iminy << 5) | (imaxy << 2) | imaxz
+                rel_lo[:, :, c, 0] = t_minx[iminx]
+                rel_lo[:, :, c, 1] = t_miny[iminy]
+                rel_lo[:, :, c, 2] = TABLE_Z[iminz]
+                rel_hi[:, :, c, 0] = 1 - t_maxx[imaxx]
+                rel_hi[:, :, c, 1] = 1 - t_maxy[imaxy]
+                rel_hi[:, :, c, 2] = 1 - TABLE_Z[imaxz]
+            d = dim[:, :, None, :]
+            p = plo[:, :, None, :]
+            levels_lo[lvl + 1] = (rel_lo * d + p).reshape(T, -1, 3)
+            levels_hi[lvl + 1] = (rel_hi * d + p).reshape(T, -1, 3)
+            curr += K
+            continue
+
+        # shared split planes (com/mid); children morton order:
+        # 0=(0,0) 1=(1,0) 2=(0,1) 3=(1,1)
         x1 = np.minimum(clo[:, :, 0, 0], clo[:, :, 2, 0])
         x2 = np.minimum(clo[:, :, 1, 0], clo[:, :, 3, 0])
         x3 = np.maximum(chi[:, :, 0, 0], chi[:, :, 2, 0])
@@ -299,35 +350,53 @@ def build_compressed_tiles(tile_verts: np.ndarray,
         z1 = clo[:, :, :, 2].min(axis=2)
         z2 = chi[:, :, :, 2].max(axis=2)
 
-        ix1 = lookup_idx(TABLE_BORDER, (x1 - plo[:, :, 0]) * F[:, :, 0])
         ix2 = lookup_idx(TABLE_MID, (x2 - plo[:, :, 0]) * F[:, :, 0])
         ix3 = lookup_idx(TABLE_MID, (phi[:, :, 0] - x3) * F[:, :, 0])
-        ix4 = lookup_idx(TABLE_BORDER, (phi[:, :, 0] - x4) * F[:, :, 0])
-        iy1 = lookup_idx(TABLE_BORDER, (y1 - plo[:, :, 1]) * F[:, :, 1])
         iy2 = lookup_idx(TABLE_MID, (y2 - plo[:, :, 1]) * F[:, :, 1])
         iy3 = lookup_idx(TABLE_MID, (phi[:, :, 1] - y3) * F[:, :, 1])
-        iy4 = lookup_idx(TABLE_BORDER, (phi[:, :, 1] - y4) * F[:, :, 1])
         iz1 = lookup_idx(TABLE_Z, (z1 - plo[:, :, 2]) * F[:, :, 2])
         iz2 = lookup_idx(TABLE_Z, (phi[:, :, 2] - z2) * F[:, :, 2])
 
-        # byte layout (compressed_node.h:264-296):
-        # xz = x1<<5 | x2<<2 | minZ ; x = x3<<5 | x4<<2
-        # yz = y1<<5 | y2<<2 | maxZ ; y = y3<<5 | y4<<2
-        nodes[:, curr:curr + K, 0] = (ix1 << 5) | (ix2 << 2) | iz1
-        nodes[:, curr:curr + K, 1] = (ix3 << 5) | (ix4 << 2)
-        nodes[:, curr:curr + K, 2] = (iy1 << 5) | (iy2 << 2) | iz2
-        nodes[:, curr:curr + K, 3] = (iy3 << 5) | (iy4 << 2)
+        if flavor == "mid":
+            # inner planes only; outer planes reused from the parent
+            # (NodeStorage<mid> compressed_node.h:241-260)
+            nodes[:, curr:curr + K, 0] = (ix2 << 5) | (ix3 << 2) | iz1
+            nodes[:, curr:curr + K, 1] = (iy2 << 5) | (iy3 << 2) | iz2
+            zero = np.zeros_like(TABLE_MID[ix2])
+            one = zero + 1.0
+            rel_lo_x = np.stack([zero, TABLE_MID[ix2],
+                                 zero, TABLE_MID[ix2]], 2)
+            rel_hi_x = np.stack([1 - TABLE_MID[ix3], one,
+                                 1 - TABLE_MID[ix3], one], 2)
+            rel_lo_y = np.stack([zero, zero,
+                                 TABLE_MID[iy2], TABLE_MID[iy2]], 2)
+            rel_hi_y = np.stack([1 - TABLE_MID[iy3], 1 - TABLE_MID[iy3],
+                                 one, one], 2)
+        else:
+            ix1 = lookup_idx(TABLE_BORDER, (x1 - plo[:, :, 0]) * F[:, :, 0])
+            ix4 = lookup_idx(TABLE_BORDER, (phi[:, :, 0] - x4) * F[:, :, 0])
+            iy1 = lookup_idx(TABLE_BORDER, (y1 - plo[:, :, 1]) * F[:, :, 1])
+            iy4 = lookup_idx(TABLE_BORDER, (phi[:, :, 1] - y4) * F[:, :, 1])
+
+            # byte layout (compressed_node.h:264-296):
+            # xz = x1<<5 | x2<<2 | minZ ; x = x3<<5 | x4<<2
+            # yz = y1<<5 | y2<<2 | maxZ ; y = y3<<5 | y4<<2
+            nodes[:, curr:curr + K, 0] = (ix1 << 5) | (ix2 << 2) | iz1
+            nodes[:, curr:curr + K, 1] = (ix3 << 5) | (ix4 << 2)
+            nodes[:, curr:curr + K, 2] = (iy1 << 5) | (iy2 << 2) | iz2
+            nodes[:, curr:curr + K, 3] = (iy3 << 5) | (iy4 << 2)
+
+            rel_lo_x = np.stack([TABLE_BORDER[ix1], TABLE_MID[ix2],
+                                 TABLE_BORDER[ix1], TABLE_MID[ix2]], 2)
+            rel_hi_x = np.stack([1 - TABLE_MID[ix3], 1 - TABLE_BORDER[ix4],
+                                 1 - TABLE_MID[ix3], 1 - TABLE_BORDER[ix4]], 2)
+            rel_lo_y = np.stack([TABLE_BORDER[iy1], TABLE_BORDER[iy1],
+                                 TABLE_MID[iy2], TABLE_MID[iy2]], 2)
+            rel_hi_y = np.stack([1 - TABLE_MID[iy3], 1 - TABLE_MID[iy3],
+                                 1 - TABLE_BORDER[iy4], 1 - TABLE_BORDER[iy4]], 2)
 
         # re-decode children (getAABB semantics) and REPLACE the next level
         # so deeper encodes quantize against reconstructed parents
-        rel_lo_x = np.stack([TABLE_BORDER[ix1], TABLE_MID[ix2],
-                             TABLE_BORDER[ix1], TABLE_MID[ix2]], 2)
-        rel_hi_x = np.stack([1 - TABLE_MID[ix3], 1 - TABLE_BORDER[ix4],
-                             1 - TABLE_MID[ix3], 1 - TABLE_BORDER[ix4]], 2)
-        rel_lo_y = np.stack([TABLE_BORDER[iy1], TABLE_BORDER[iy1],
-                             TABLE_MID[iy2], TABLE_MID[iy2]], 2)
-        rel_hi_y = np.stack([1 - TABLE_MID[iy3], 1 - TABLE_MID[iy3],
-                             1 - TABLE_BORDER[iy4], 1 - TABLE_BORDER[iy4]], 2)
         rel_lo_z = np.broadcast_to(TABLE_Z[iz1][:, :, None], rel_lo_x.shape)
         rel_hi_z = np.broadcast_to((1 - TABLE_Z[iz2])[:, :, None],
                                    rel_lo_x.shape)
@@ -432,6 +501,7 @@ def build_compressed_tiles(tile_verts: np.ndarray,
         grid=jnp.asarray(grid_store),
         comp_level=comp_level,
         mode=mode,
+        flavor=flavor,
     )
     return CompressedBuildResult(tiles=tiles, world_lower=world_lower,
                                  world_upper=world_upper)

@@ -16,7 +16,9 @@ from .bvh import BVHArraysNP
 
 
 def _half_area(lo, hi):
-    d = np.maximum(hi - lo, 0.0)
+    # empty slots carry (+inf, -inf) bounds; the subtract warns harmlessly
+    with np.errstate(invalid="ignore", over="ignore"):
+        d = np.maximum(hi - lo, 0.0)
     return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] \
         + d[..., 2] * d[..., 0]
 

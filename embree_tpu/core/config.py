@@ -66,6 +66,9 @@ class State:
     object_accel: str = "default"
     subdiv_accel: str = "default"
     subdiv_accel_mb: str = "default"
+    # compressed node flavor (compressed_node.h flavors): com 4 B (paper
+    # production type), non 8 B per-child planes, mid 2 B inner-only
+    compressed_node: str = "com"
 
     # builder tuning (state.h:111-122)
     max_spatial_split_replications: float = 1.2
@@ -126,7 +129,8 @@ class State:
         sizes = {"tessellation_cache_size"}
         floats = {"max_spatial_split_replications"}
         strs = {"isa", "tri_accel", "tri_accel_mb", "quad_accel", "hair_accel",
-                "object_accel", "subdiv_accel", "subdiv_accel_mb", "builder"}
+                "object_accel", "subdiv_accel", "subdiv_accel_mb", "builder",
+                "compressed_node"}
         if k in ints:
             setattr(self, k, int(v))
         elif k in bools:

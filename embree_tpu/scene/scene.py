@@ -302,9 +302,13 @@ class Scene:
             (compressed, self.subdiv_eval, self.subdiv_plan, clo,
              chi) = build_compressed_accel(
                 subdiv_compressed, self.subdivision_level,
-                self.compression_level, self._subdiv_mode())
-            from ..traverse.pallas_cbvh import pack_compressed
-            compressed_pallas = pack_compressed(compressed)
+                self.compression_level, self._subdiv_mode(),
+                flavor=self.device.state.compressed_node)
+            # pallas cbvh kernel decodes the production 'com' layout only;
+            # non/mid flavors traverse on the XLA path
+            if self.device.state.compressed_node == "com":
+                from ..traverse.pallas_cbvh import pack_compressed
+                compressed_pallas = pack_compressed(compressed)
             if lower.shape[0]:
                 lo_all = np.minimum(lower.min(0), clo)
                 hi_all = np.maximum(upper.max(0), chi)

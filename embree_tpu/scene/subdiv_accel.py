@@ -133,7 +133,8 @@ def chop_tiles(grids, verts_disp, verts_undisp, face_counts,
 
 
 def build_compressed_accel(subdiv_geoms, subdivision_level: int,
-                           compression_level: int, mode: str):
+                           compression_level: int, mode: str,
+                           flavor: str = "com"):
     """Full compressed-accel build over all subdiv geometries.
 
     Returns (CompressedAccel, {gid: SubdivEval}, {gid: SubdivisionPlan},
@@ -162,7 +163,7 @@ def build_compressed_accel(subdiv_geoms, subdivision_level: int,
         tile_verts, tile_undisp,
         np.concatenate(uv0), np.concatenate(uvd),
         np.concatenate(gids), np.concatenate(fids),
-        cl, mode)
+        cl, mode, flavor=flavor)
 
     # top-level SAH BVH4 over tile bounds, maxLeafSize=1
     # (bvh_builder_subdiv.cpp:842-846)

@@ -117,14 +117,55 @@ def _frustum(fr, lorg, ldir, tnear, tfar):
     return near, far, (near <= far) & any_valid
 
 
-def _decode_node(node, node_full, plo, phi, mode):
-    """getNode (compressed_node.h:489-512): 4 child boxes from the popped
-    parent box. Returns (lo, hi) each (4, 3) — ray independent."""
+def _decode_node(node, node_full, plo, phi, mode, flavor="com"):
+    """getNode (compressed_node.h:489-512; non :578-658; mid :241-260):
+    4 child boxes from the popped parent box. Returns (lo, hi) each
+    (4, 3) — ray independent."""
     if mode == "full":
         return node_full[:, 0:3], node_full[:, 3:6]
     tb = jnp.asarray(TABLE_BORDER)
     tm = jnp.asarray(TABLE_MID)
     tz = jnp.asarray(TABLE_Z)
+    dim = phi - plo
+
+    if flavor == "non":
+        # 8-byte per-child planes: byte pair (xz, yz) per child
+        los, his = [], []
+        for c in range(4):
+            qx, qy = c & 1, (c >> 1) & 1
+            xz, yz = node[2 * c], node[2 * c + 1]
+            t_minx = tm if qx else tb
+            t_maxx = tb if qx else tm
+            t_miny = tm if qy else tb
+            t_maxy = tb if qy else tm
+            los.append(jnp.stack([t_minx[(xz >> 5) & 7],
+                                  t_miny[(yz >> 5) & 7],
+                                  tz[xz & 3]]))
+            his.append(jnp.stack([1 - t_maxx[(xz >> 2) & 7],
+                                  1 - t_maxy[(yz >> 2) & 7],
+                                  1 - tz[yz & 3]]))
+        lo = jnp.stack(los) * dim + plo
+        hi = jnp.stack(his) * dim + plo
+        return lo, hi
+
+    if flavor == "mid":
+        # 2-byte inner planes; outer planes are the parent's
+        xz, yz = node[0], node[1]
+        ix2 = (xz >> 5) & 7; ix3 = (xz >> 2) & 7
+        iy2 = (yz >> 5) & 7; iy3 = (yz >> 2) & 7
+        iz1 = xz & 3; iz2 = yz & 3
+        zero = jnp.float32(0.0)
+        one = jnp.float32(1.0)
+        lo_x = jnp.stack([zero, tm[ix2], zero, tm[ix2]])
+        hi_x = jnp.stack([1 - tm[ix3], one, 1 - tm[ix3], one])
+        lo_y = jnp.stack([zero, zero, tm[iy2], tm[iy2]])
+        hi_y = jnp.stack([1 - tm[iy3], 1 - tm[iy3], one, one])
+        lo_z = jnp.broadcast_to(tz[iz1], (4,))
+        hi_z = jnp.broadcast_to(1 - tz[iz2], (4,))
+        lo = jnp.stack([lo_x, lo_y, lo_z], -1) * dim + plo
+        hi = jnp.stack([hi_x, hi_y, hi_z], -1) * dim + plo
+        return lo, hi
+
     xz, x, yz, y = node[0], node[1], node[2], node[3]
     ix1 = (xz >> 5) & 7; ix2 = (xz >> 2) & 7
     ix3 = (x >> 5) & 7; ix4 = (x >> 2) & 7
@@ -132,7 +173,6 @@ def _decode_node(node, node_full, plo, phi, mode):
     iy3 = (y >> 5) & 7; iy4 = (y >> 2) & 7
     iz1 = xz & 3; iz2 = yz & 3
 
-    dim = phi - plo
     # children morton order: 0=(0,0) 1=(1,0) 2=(0,1) 3=(1,1)
     lo_x = jnp.stack([tb[ix1], tm[ix2], tb[ix1], tm[ix2]])
     hi_x = jnp.stack([1 - tm[ix3], 1 - tb[ix4], 1 - tm[ix3], 1 - tb[ix4]])
@@ -158,9 +198,10 @@ def _slab(lo, hi, org, direction, robust=True):
     return tmin, tmax
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "comp_level"))
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "comp_level", "flavor"))
 def _tile_intersect(tiles: CompressedTiles, ti, org, direction, tnear, state,
-                    mode: str, comp_level: int):
+                    mode: str, comp_level: int, flavor: str = "com"):
     """Intersect the whole packet against one tile (the reference's
     CompressedBVHIntersector1::intersect, :441-752)."""
     R = tnear.shape[0]
@@ -365,7 +406,8 @@ def _tile_intersect(tiles: CompressedTiles, ti, org, direction, tnear, state,
             node = tiles.nodes[ti, curr]
             node_full = (tiles.nodes_full[ti, curr] if mode == "full"
                          else jnp.zeros((4, 6)))
-            clo, chi = _decode_node(node, node_full, plo, phi, mode)
+            clo, chi = _decode_node(node, node_full, plo, phi, mode,
+                                    flavor)
             # robust slab per child vs all rays
             tmins, tmaxs, anyh, keys = [], [], [], []
             for c in range(4):
@@ -466,7 +508,9 @@ def intersect_compressed(accel: CompressedAccel, rays: Rays,
             def run(st):
                 ti = top.prim_order[child[c]]
                 return _tile_intersect(tiles, ti, org, direction, tnear, st,
-                                       mode=mode, comp_level=cl)
+                                       mode=mode, comp_level=cl,
+                                       flavor=getattr(tiles, "flavor",
+                                                      "com"))
             return jax.lax.cond(any_hit[c] & (count[c] > 0), run,
                                 lambda s: s, st)
 

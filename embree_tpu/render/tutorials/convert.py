@@ -44,6 +44,12 @@ def load_input(path: str, scene: XMLScene) -> None:
     elif low.endswith(".ply"):
         from ..plyloader import load_ply
         scene.geometries.append((load_ply(path), 0))
+    elif low.endswith(".scn"):
+        from ..coronaloader import load_corona
+        sub = load_corona(path)
+        base = len(scene.materials)
+        scene.materials.extend(sub.materials)
+        scene.geometries.extend((g, mi + base) for g, mi in sub.geometries)
     else:
         raise ValueError(f"unsupported input: {path}")
 

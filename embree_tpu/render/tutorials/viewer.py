@@ -36,6 +36,10 @@ def build_scene(obj_path: str, subdiv_mode=None, subdiv_level=5,
         from ..xmlloader import load_xml
         xs = load_xml(obj_path)
         geometries, mats = xs.geometries, xs.materials
+    elif obj_path.lower().endswith(".scn"):
+        from ..coronaloader import load_corona
+        xs = load_corona(obj_path)
+        geometries, mats = xs.geometries, xs.materials
     elif obj_path.lower().endswith(".ply"):
         from ..plyloader import load_ply
         from ..materials import MAT_OBJ

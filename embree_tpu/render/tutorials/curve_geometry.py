@@ -77,7 +77,7 @@ def render(cscene, cam_vx, cam_vy, cam_vz, cam_p,
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    hits = scene_intersect(cscene, rays)
+    hits = scene_intersect(cscene, rays, coherent=True)
     curve_col = _curve_color(hits.u, hits.prim_id)
     col = jnp.where((hits.geom_id == gid_curve)[..., None], curve_col,
                     jnp.asarray([0.7, 0.7, 0.7], jnp.float32))

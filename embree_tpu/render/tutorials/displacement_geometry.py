@@ -77,7 +77,7 @@ def render(cscene: CommittedScene, cam_vx, cam_vy, cam_vz, cam_p,
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    hits = scene_intersect(cscene, rays)
+    hits = scene_intersect(cscene, rays, coherent=True)
     valid = hits.valid
 
     # diffuse: plane (geom 0) red, cube salmon (:217)
@@ -91,7 +91,7 @@ def render(cscene: CommittedScene, cam_vx, cam_vy, cam_vz, cam_p,
     shadow = Rays(hit_p, jnp.broadcast_to(-light_dir, d.shape),
                   jnp.full(d.shape[:-1], 1e-3, jnp.float32),
                   jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    occ = scene_occluded(cscene, shadow)
+    occ = scene_occluded(cscene, shadow, coherent=True)
 
     # compressed hits carry the dummy Ng (1,0,0): fall back to facing the
     # ray when |ng| is the dummy (ENABLE_SMOOTH_NORMALS=0 in the reference

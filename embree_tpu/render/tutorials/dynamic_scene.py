@@ -97,7 +97,7 @@ def render(cscene, colors, cam_vx, cam_vy, cam_vz, cam_p,
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    hits = scene_intersect(cscene, rays)
+    hits = scene_intersect(cscene, rays, coherent=True)
     col = colors[jnp.clip(hits.geom_id, 0, colors.shape[0] - 1)]
     ns = normalize(hits.ng)
     ns = jnp.where(dot(d, ns)[..., None] < 0, ns, -ns)

@@ -59,7 +59,7 @@ def render(cscene, cam_vx, cam_vy, cam_vz, cam_p, *, width, height):
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    hits = scene_intersect(cscene, rays)
+    hits = scene_intersect(cscene, rays, coherent=True)
     valid = hits.valid
     diffuse = jnp.where((hits.geom_id == 1)[..., None],
                         jnp.asarray([0.65, 0.45, 0.2]),   # hair

@@ -63,7 +63,7 @@ def render(cscene, colors, cam_vx, cam_vy, cam_vz, cam_p,
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    hits = scene_intersect(cscene, rays)
+    hits = scene_intersect(cscene, rays, coherent=True)
     # color by instance id (instanced_geometry_device.cpp:246); the
     # ground hits carry inst_id == -1 -> last color
     cidx = jnp.where(hits.inst_id >= 0, jnp.clip(hits.inst_id, 0, 3), 4)

@@ -94,7 +94,7 @@ def render_frame(state, camera: Camera, size):
         org = jnp.broadcast_to(p, d.shape)
         rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                     jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-        return d, scene_intersect(cs, rays)
+        return d, scene_intersect(cs, rays, coherent=True)
 
     d, hits = trace(vx, vy, vz, p)
     col = _interp_colors(scene, gids, hits)

@@ -138,7 +138,7 @@ def _trace(cscene, cam_vx, cam_vy, cam_vz, cam_p, *, width, height):
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    hits = scene_intersect(cscene, rays)
+    hits = scene_intersect(cscene, rays, coherent=True)
     return d, hits
 
 

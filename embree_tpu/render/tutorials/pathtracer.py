@@ -131,7 +131,9 @@ def render_pt(cscene, materials: MaterialTable, lights: LightTable,
             kb = jax.random.fold_in(kpath, bounce)
             rays = Rays(ro, rd, jnp.full(shape, 1e-4, jnp.float32),
                         jnp.full(shape, jnp.inf, jnp.float32))
-            hits = scene_intersect(cscene, rays)
+            # coherent flag on the camera bounce only (the reference
+            # sets RTC_INTERSECT_CONTEXT_FLAG_COHERENT at :1467)
+            hits = scene_intersect(cscene, rays, coherent=(bounce == 0))
             hit = hits.valid & active
 
             # environment on miss (:1476-1484)

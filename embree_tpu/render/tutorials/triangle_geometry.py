@@ -79,7 +79,7 @@ def render(cscene: CommittedScene, face_colors, prim_offset,
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
 
-    hits = scene_intersect(cscene, rays)
+    hits = scene_intersect(cscene, rays, coherent=True)
     valid = hits.valid
 
     fidx = prim_offset[jnp.maximum(hits.geom_id, 0)] + hits.prim_id
@@ -91,7 +91,7 @@ def render(cscene: CommittedScene, face_colors, prim_offset,
     shadow = Rays(hit_p, jnp.broadcast_to(-light_dir, d.shape),
                   jnp.full(d.shape[:-1], 1e-3, jnp.float32),
                   jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    occ = scene_occluded(cscene, shadow)
+    occ = scene_occluded(cscene, shadow, coherent=True)
 
     ndotl = jnp.clip(-dot(jnp.broadcast_to(light_dir, d.shape),
                           normalize(hits.ng)), 0.0, 1.0)

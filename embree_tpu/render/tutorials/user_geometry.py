@@ -86,7 +86,7 @@ def render(cscene, colors, cam_vx, cam_vy, cam_vz, cam_p,
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    hits = scene_intersect(cscene, rays)
+    hits = scene_intersect(cscene, rays, coherent=True)
 
     # sphere prims -> color by prim id; ground -> last color
     is_user = hits.geom_id == 0
@@ -103,7 +103,7 @@ def render(cscene, colors, cam_vx, cam_vy, cam_vz, cam_p,
     ldn = ld / dist[..., None]
     sorg = pt + 1e-3 * ns * jnp.sign(dot(ns, ldn))[..., None]
     srays = Rays(sorg, ldn, jnp.zeros_like(hits.t), dist)
-    shadowed = scene_occluded(cscene, srays)
+    shadowed = scene_occluded(cscene, srays, coherent=True)
 
     diff = jnp.clip(dot(ldn, ns), 0.0, 1.0)
     lit = jnp.where(shadowed | ~hits.valid, 0.0, diff)

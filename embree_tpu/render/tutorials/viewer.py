@@ -98,7 +98,7 @@ def render(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
-    hits = scene_intersect(cscene, rays)
+    hits = scene_intersect(cscene, rays, coherent=True)
     valid = hits.valid
 
     mid = geom_mat[jnp.clip(hits.geom_id, 0, geom_mat.shape[0] - 1)]

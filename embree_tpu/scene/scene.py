@@ -394,13 +394,16 @@ class Scene:
         reference performs (AccelN::select(filter), acceln.cpp:207)."""
         self.intersection_filter = fn
 
-    def intersect(self, rays: Rays, time=None) -> Hits:
+    def intersect(self, rays: Rays, time=None, coherent: bool = False) -> Hits:
         """rtcIntersect1/K/stream analog (batched over all rays). `time`
-        in [0,1] samples motion-blur geometry (ray.time analog)."""
+        in [0,1] samples motion-blur geometry (ray.time analog);
+        `coherent` is the RTC_INTERSECT_CONTEXT_FLAG_COHERENT hint (skips
+        the stream sort for primary-ray-like batches)."""
         cs = self._require_commit()
         return scene_intersect(cs, rays, isa=self.device.state.isa,
                                time=time,
-                               filter_fn=self.intersection_filter)
+                               filter_fn=self.intersection_filter,
+                               coherent=coherent)
 
     def occluded(self, rays: Rays) -> jnp.ndarray:
         cs = self._require_commit()
@@ -510,7 +513,7 @@ def _use_pallas(cs: CommittedScene, isa: str) -> bool:
 
 def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
                     _sorted: bool = False, time=None,
-                    filter_fn=None) -> Hits:
+                    filter_fn=None, coherent: bool = False) -> Hits:
     """Functional entry: runs the triangle accel then (if present) the
     compressed-subdiv accel, min-combining hits — the AccelN loop
     (acceln.cpp:51). Large batches on the pallas path are stream-sorted
@@ -520,7 +523,9 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
 
     shape = rays.batch_shape
     R = int(np.prod(shape)) if shape else 1
-    if (not _sorted and R >= 8192
+    # RTC_INTERSECT_CONTEXT_FLAG_COHERENT analog: callers tracing already-
+    # coherent rays (primary/camera) skip the stream sort+unsort entirely
+    if (not _sorted and not coherent and R >= 8192
             and (_use_pallas(cs, isa) or _compressed_use_pallas(cs, isa))):
         from ..traverse.stream import sort_rays_perm
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
@@ -639,10 +644,13 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
 
 
 def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
-                   _sorted: bool = False) -> jnp.ndarray:
+                   _sorted: bool = False,
+                   coherent: bool = False) -> jnp.ndarray:
     shape = rays.batch_shape
     R = int(np.prod(shape)) if shape else 1
-    if (not _sorted and R >= 8192
+    # RTC_INTERSECT_CONTEXT_FLAG_COHERENT analog: callers tracing already-
+    # coherent rays (primary/camera) skip the stream sort+unsort entirely
+    if (not _sorted and not coherent and R >= 8192
             and (_use_pallas(cs, isa) or _compressed_use_pallas(cs, isa))):
         import jax
         from ..traverse.stream import sort_rays

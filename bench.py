@@ -45,7 +45,7 @@ def main() -> int:
     on_tpu = jax.default_backend() in ("tpu", "axon")
     isa = "default" if (on_tpu and cs.pallas is not None) else "xla"
 
-    idxj = jnp.asarray(idx)
+    idxj = np.asarray(idx)  # numpy: captured by the jitted loss_fn
 
     def loss_fn(vertices, c, r):
         # rebuild differentiable leaf data from the parameter vertices;

@@ -86,7 +86,9 @@ def render_frame(state, camera: Camera, size):
     cs, scene, gids = state["cscene"], state["scene"], state["gids"]
 
     @functools.partial(jax.jit, static_argnames=())
-    def trace(vx, vy, vz, p):
+    def trace(cs, vx, vy, vz, p):
+        # cs passed as an argument, never captured: baking a scene's
+        # device arrays into the executable is slow over axon
         xs = jnp.arange(w, dtype=jnp.float32)
         ys = jnp.arange(h, dtype=jnp.float32)
         x, y = jnp.meshgrid(xs, ys)
@@ -96,7 +98,7 @@ def render_frame(state, camera: Camera, size):
                     jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
         return d, scene_intersect(cs, rays, coherent=True)
 
-    d, hits = trace(vx, vy, vz, p)
+    d, hits = trace(cs, vx, vy, vz, p)
     col = _interp_colors(scene, gids, hits)
     ns = normalize(hits.ng)
     ns = jnp.where(dot(d, ns)[..., None] < 0, ns, -ns)

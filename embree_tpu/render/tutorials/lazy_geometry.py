@@ -62,7 +62,7 @@ def _sphere_mesh(p, r, n_phi=16, n_theta=32):
 def _make_bounds_proxy(centers):
     """UserGeometry over all sphere bounds: intersect = analytic sphere
     (cheap stand-in used only to detect 'a ray entered the bounds')."""
-    C = jnp.asarray(centers)
+    C = np.asarray(centers)  # numpy: captured by a jitted closure
 
     def bounds_fn(ids):
         c = centers[np.asarray(ids)]

@@ -129,11 +129,15 @@ def make_segment_intersector(p0, p1, prim, u0, du):
 
     Returns per-ray (valid, t, u, v, ng) with u = curve parameter and
     Ng = radial direction at the hit (embree's round-curve normal)."""
-    P0 = jnp.asarray(p0)
-    P1 = jnp.asarray(p1)
-    PR = jnp.asarray(prim)
-    U0 = jnp.asarray(u0)
-    DU = jnp.asarray(du)
+    # numpy on purpose: these get captured by intersect_fn and traced
+    # into callers' jits later — numpy closures embed as plain literals,
+    # device-array closures re-bake remote buffers into every enclosing
+    # executable (slow compiles over the axon tunnel).
+    P0 = np.asarray(p0)
+    P1 = np.asarray(p1)
+    PR = np.asarray(prim)
+    U0 = np.asarray(u0)
+    DU = np.asarray(du)
 
     def intersect_fn(sid, rays, tfar):
         a0 = P0[sid, :3]

@@ -69,7 +69,7 @@ def _make_bounds_proxy(centers):
         return (c - RADIUS).astype(np.float32), (c + RADIUS).astype(np.float32)
 
     def intersect_fn(pid, rays, tfar):
-        c = C[pid]
+        c = jnp.asarray(C)[pid]  # inline constant (numpy can't take tracer)
         oc = rays.org - c
         b = jnp.sum(oc * rays.dir, -1)
         dd = jnp.sum(rays.dir * rays.dir, -1)

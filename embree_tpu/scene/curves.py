@@ -140,10 +140,14 @@ def make_segment_intersector(p0, p1, prim, u0, du):
     DU = np.asarray(du)
 
     def intersect_fn(sid, rays, tfar):
-        a0 = P0[sid, :3]
-        a1 = P1[sid, :3]
-        r0 = P0[sid, 3]
-        r1 = P1[sid, 3]
+        # jnp conversion happens here, inside the caller's trace, so the
+        # constants inline into the jaxpr (numpy can't index by tracer)
+        P0j = jnp.asarray(P0)
+        P1j = jnp.asarray(P1)
+        a0 = P0j[sid, :3]
+        a1 = P1j[sid, :3]
+        r0 = P0j[sid, 3]
+        r1 = P1j[sid, 3]
         axis = a1 - a0
         aa = jnp.maximum(jnp.sum(axis * axis), 1e-20)
         rr = r1 - r0
@@ -196,7 +200,7 @@ def make_segment_intersector(p0, p1, prim, u0, du):
         t_hit = jnp.where(valid, t_all, tfar)
 
         s = jnp.clip((alpha + beta * t_hit) / aa, 0.0, 1.0)
-        u = U0[sid] + s * DU[sid]
+        u = jnp.asarray(U0)[sid] + s * jnp.asarray(DU)[sid]
         pt = rays.org + t_hit[..., None] * dvec
         ng = pt - (a0 + s[..., None] * axis)
         return valid, t_hit, u, jnp.zeros_like(u), ng

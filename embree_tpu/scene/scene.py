@@ -251,7 +251,8 @@ class Scene:
                 user_bvhs.append(ub.to_device())
                 fn, prim_map = make_segment_intersector(p0, p1, prim, u0, du)
                 users.append((gid, p0.shape[0], fn,
-                              (lambda pm: (lambda p: pm[jnp.maximum(p, 0)]))(prim_map)))
+                              (lambda pm: (lambda p: jnp.asarray(pm)[
+                                  jnp.maximum(p, 0)]))(prim_map)))
             else:
                 raise NotImplementedError(type(g))
 

@@ -55,6 +55,10 @@ class Device:
             self.backend = backend or jax.default_backend()
         except Exception:  # pragma: no cover
             self.backend = "cpu"
+        # setCacheSize(tessellation_cache_size) at device creation
+        # (device.cpp:78)
+        from ..subdiv.cache import global_cache
+        global_cache().set_size(self.state.tessellation_cache_size)
         if self.state.verbose >= 1:
             self.print_banner()
 

@@ -42,12 +42,22 @@ def build_subdiv_geometry(mesh, subdivision_level: int):
     Returns (plan, verts_disp, verts_undisp, grids, eval_data)."""
     L = max(int(subdivision_level), 1)
     nv = int(np.asarray(mesh.vertices).shape[0])
-    plan = plan_subdivision(
-        mesh.face_counts, mesh.face_indices, nv, L,
-        edge_creases=mesh.edge_creases,
-        edge_crease_weights=mesh.edge_crease_weights,
-        vertex_creases=mesh.vertex_creases,
-        vertex_crease_weights=mesh.vertex_crease_weights)
+    # topology plans are recompute-cached (SharedLazyTessellationCache
+    # analog): dynamic re-commits with moved vertices skip the expensive
+    # refinement planning entirely
+    from ..subdiv.cache import global_cache, plan_nbytes, topology_key
+    key = topology_key(mesh.face_counts, mesh.face_indices, nv, L,
+                       mesh.edge_creases, mesh.edge_crease_weights,
+                       mesh.vertex_creases, mesh.vertex_crease_weights)
+    plan = global_cache().get_or_build(
+        ("plan", key),
+        lambda: plan_subdivision(
+            mesh.face_counts, mesh.face_indices, nv, L,
+            edge_creases=mesh.edge_creases,
+            edge_crease_weights=mesh.edge_crease_weights,
+            vertex_creases=mesh.vertex_creases,
+            vertex_crease_weights=mesh.vertex_crease_weights),
+        plan_nbytes)
     verts = evaluate_plan(plan, np.asarray(mesh.vertices, np.float32))
     verts = limit_project(plan, verts)  # limit surface (getLimitVertex)
     quads = plan.final_quads

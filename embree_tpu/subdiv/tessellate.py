@@ -148,14 +148,21 @@ def tessellate_mesh_to_triangles(mesh, subdivision_level: int):
     """Scene.commit entry: SubdivMesh -> (v0, v1, v2, prim_id) triangle
     soup with displacement applied (eager path, the stand-in until the
     compressed cBVH accel consumes the patch grids directly)."""
-    plan = plan_subdivision(
-        mesh.face_counts, mesh.face_indices,
-        int(np.asarray(mesh.vertices).shape[0]),
-        max(int(subdivision_level), 1),
-        edge_creases=mesh.edge_creases,
-        edge_crease_weights=mesh.edge_crease_weights,
-        vertex_creases=mesh.vertex_creases,
-        vertex_crease_weights=mesh.vertex_crease_weights)
+    from .cache import global_cache, plan_nbytes, topology_key
+    L = max(int(subdivision_level), 1)
+    nv = int(np.asarray(mesh.vertices).shape[0])
+    key = topology_key(mesh.face_counts, mesh.face_indices, nv, L,
+                       mesh.edge_creases, mesh.edge_crease_weights,
+                       mesh.vertex_creases, mesh.vertex_crease_weights)
+    plan = global_cache().get_or_build(
+        ("plan", key),
+        lambda: plan_subdivision(
+            mesh.face_counts, mesh.face_indices, nv, L,
+            edge_creases=mesh.edge_creases,
+            edge_crease_weights=mesh.edge_crease_weights,
+            vertex_creases=mesh.vertex_creases,
+            vertex_crease_weights=mesh.vertex_crease_weights),
+        plan_nbytes)
     verts = evaluate_plan(plan, np.asarray(mesh.vertices, np.float32))
     verts = limit_project(plan, verts)  # push to the limit surface
     quads = plan.final_quads

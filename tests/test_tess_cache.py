@@ -1,0 +1,69 @@
+"""Shared lazy tessellation cache (tessellation_cache.{h,cpp} analog)."""
+import time
+
+import numpy as np
+
+import embree_tpu as et
+from embree_tpu.subdiv.cache import (SharedLazyTessellationCache,
+                                     global_cache)
+
+CUBE_V = np.asarray([
+    [-1, -1, -1], [1, -1, -1], [1, -1, 1], [-1, -1, 1],
+    [-1, 1, -1], [1, 1, -1], [1, 1, 1], [-1, 1, 1]], np.float32)
+CUBE_Q = np.asarray([[0, 4, 5, 1], [1, 5, 6, 2], [2, 6, 7, 3],
+                     [0, 3, 7, 4], [4, 7, 6, 5], [0, 1, 2, 3]], np.int32)
+
+
+def _commit_subdiv(level=4):
+    dev = et.Device("ignore_config_files=1")
+    s = et.Scene(dev)
+    s.attach(et.SubdivMesh(CUBE_V, np.full(6, 4, np.int32),
+                           CUBE_Q.reshape(-1)))
+    s.set_levels(level, 2)
+    s.commit()
+    return s
+
+
+def test_recommit_hits_cache():
+    global_cache().clear()
+    h0, m0 = global_cache().hits, global_cache().misses
+    _commit_subdiv(5)
+    m1 = global_cache().misses
+    assert m1 > m0  # first commit misses
+    _commit_subdiv(5)  # same topology + level
+    assert global_cache().hits > h0
+    assert global_cache().misses == m1  # no new planning work
+
+
+def test_recommit_faster_with_cache():
+    global_cache().clear()
+    t0 = time.perf_counter()
+    _commit_subdiv(6)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _commit_subdiv(6)
+    warm = time.perf_counter() - t0
+    assert warm < cold  # plan reuse must not be slower
+
+
+def test_different_level_is_different_entry():
+    global_cache().clear()
+    _commit_subdiv(3)
+    m = global_cache().misses
+    _commit_subdiv(4)
+    assert global_cache().misses > m
+
+
+def test_segmented_eviction():
+    c = SharedLazyTessellationCache(max_bytes=1000)
+    for i in range(20):
+        c.get_or_build(i, lambda: np.zeros(50, np.uint8), lambda v: 200)
+    assert c.bytes_used <= 1000
+    assert c.evictions > 0
+
+
+def test_set_size_via_config():
+    dev = et.Device("ignore_config_files=1,tessellation_cache_size=64M")
+    assert dev.state.tessellation_cache_size == 64 * 1024 * 1024
+    assert global_cache().max_bytes == 64 * 1024 * 1024
+    et.Device("ignore_config_files=1")  # restore default size

@@ -853,7 +853,7 @@ def _pallas_call_v2(occluded: bool, num_blocks: int, interpret: bool,
 VMEM_TABLE_BUDGET = 12 * 1024 * 1024
 
 
-POP_WIDTH = 8  # v3 kernel multi-pop width (sweep-tuned on v5e)
+POP_WIDTH = 16  # v3 kernel multi-pop width (sweep-tuned on v5e)
 
 
 @functools.partial(jax.jit,

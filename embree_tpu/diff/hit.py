@@ -27,9 +27,11 @@ from ..scene.scene import CommittedScene, scene_intersect
 def reeval_hit(tris: TrianglePrims, rays: Rays, gprim, valid) -> Hits:
     """Recompute (t, u, v, Ng, P) differentiably for the selected prim."""
     p = jnp.maximum(gprim, 0)
-    v0 = tris.v0[p]
-    v1 = tris.v1[p]
-    v2 = tris.v2[p]
+    # one packed gather instead of three (v5e gather cost is per-op);
+    # grads flow back through the concat as cheap slices
+    packf = jnp.concatenate([tris.v0, tris.v1, tris.v2], axis=-1)  # (T, 9)
+    g = packf[p]
+    v0, v1, v2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
     e1 = v1 - v0
     e2 = v2 - v0
     ng = cross(e1, e2)  # == reference Ng = cross(e2', e1') with their edges
@@ -46,7 +48,10 @@ def reeval_hit(tris: TrianglePrims, rays: Rays, gprim, valid) -> Hits:
     denom_safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
     u = (d11 * d20 - d01 * d21) / denom_safe
     v = (d00 * d21 - d01 * d20) / denom_safe
-    flip = tris.uv_flip[p] == 1
+    packi = jnp.stack([tris.uv_flip, tris.prim_id, tris.geom_id],
+                      axis=-1)  # (T, 3) — one meta gather instead of three
+    meta = packi[p]
+    flip = meta[..., 0] == 1
     u = jnp.where(flip, 1.0 - u, u)
     v = jnp.where(flip, 1.0 - v, v)
     z = jnp.zeros_like(t)
@@ -55,8 +60,8 @@ def reeval_hit(tris: TrianglePrims, rays: Rays, gprim, valid) -> Hits:
         u=jnp.where(valid, u, z),
         v=jnp.where(valid, v, z),
         ng=jnp.where(valid[..., None], ng, 0.0),
-        prim_id=jnp.where(valid, tris.prim_id[p], -1),
-        geom_id=jnp.where(valid, tris.geom_id[p], -1),
+        prim_id=jnp.where(valid, meta[..., 1], -1),
+        geom_id=jnp.where(valid, meta[..., 2], -1),
         gprim=jnp.where(valid, gprim, -1),
         inst_id=jnp.full(t.shape, -1, jnp.int32),
     )

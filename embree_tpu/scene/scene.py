@@ -528,25 +528,29 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
     # coherent rays (primary/camera) skip the stream sort+unsort entirely
     if (not _sorted and not coherent and R >= 8192
             and (_use_pallas(cs, isa) or _compressed_use_pallas(cs, isa))):
-        from ..traverse.stream import sort_rays_perm
+        from ..traverse.stream import (sort_rays_perm, sort_rays_stream,
+                                       unsort_by_perm)
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-        srays, perm, inv = sort_rays_perm(flat, cs.world_lower,
-                                          cs.world_upper)
         # triangle-only scenes: run the kernel sorted, unsort just the
-        # (t, prim) pair — TPU gathers dominate this path, so 2 gathers
-        # instead of the Hits pytree's ~10 — then finalize against the
-        # ORIGINAL ray order (u/v/Ng recomputed from prim anyway)
+        # (t, prim) pair with a payload sort (1M-row gathers cost ~13 ms
+        # each on v5e; the keyed sort is ~7 ms total), then finalize
+        # against the ORIGINAL ray order (u/v/Ng recomputed from prim)
         if (_use_pallas(cs, isa) and filter_fn is None
                 and cs.compressed is None and cs.mb is None
                 and not cs.users and not cs.instances):
             from ..traverse.packet import _finalize_hits
             from ..traverse.pallas_packet import intersect_pallas_raw
+            srays, perm = sort_rays_stream(flat, cs.world_lower,
+                                           cs.world_upper)
             t_s, prim_s = intersect_pallas_raw(
                 cs.pallas, srays, interpret=_pallas_interpret())
-            h = _finalize_hits(cs.tris, flat, t_s[inv], prim_s[inv])
+            t_u, prim_u = unsort_by_perm(perm, t_s, prim_s)
+            h = _finalize_hits(cs.tris, flat, t_u, prim_u)
             return jax.tree.map(
                 lambda x: x.reshape(shape + x.shape[1:]), h)
+        srays, perm, inv = sort_rays_perm(flat, cs.world_lower,
+                                          cs.world_upper)
         stime = time
         if time is not None and getattr(time, "ndim", 0) > 0:
             stime = jnp.asarray(time).reshape(-1)[perm]  # co-sort ray times
@@ -654,12 +658,12 @@ def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
     if (not _sorted and not coherent and R >= 8192
             and (_use_pallas(cs, isa) or _compressed_use_pallas(cs, isa))):
         import jax
-        from ..traverse.stream import sort_rays
+        from ..traverse.stream import sort_rays_stream, unsort_one
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-        srays, inv = sort_rays(flat, cs.world_lower, cs.world_upper)
+        srays, perm = sort_rays_stream(flat, cs.world_lower, cs.world_upper)
         occ = scene_occluded(cs, srays, isa=isa, _sorted=True)
-        return occ[inv].reshape(shape)
+        return unsort_one(perm, occ).reshape(shape)
     if cs.tris.num_prims == 0:
         occ = jnp.zeros(shape, bool)
     elif _use_pallas(cs, isa):

@@ -172,15 +172,24 @@ def intersect_packet(bvh: BVH, tris: TrianglePrims, rays: Rays,
 
 
 def _finalize_hits(tris: TrianglePrims, rays: Rays, t, prim) -> Hits:
-    """Recompute u/v/Ng from the winning prim (differentiable re-eval)."""
+    """Recompute u/v/Ng from the winning prim (differentiable re-eval).
+
+    Vertex/meta tables are packed (concat over the small prim axis is
+    ~free) so the per-ray random access is 2 gather ops instead of 6 —
+    gather cost on v5e is per-op, not per-byte."""
     valid = prim >= 0
     p = jnp.maximum(prim, 0)
-    v0, v1, v2 = tris.v0[p], tris.v1[p], tris.v2[p]
+    packf = jnp.concatenate([tris.v0, tris.v1, tris.v2], axis=-1)  # (T, 9)
+    g = packf[p]
+    v0, v1, v2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
+    packi = jnp.stack([tris.uv_flip, tris.prim_id, tris.geom_id],
+                      axis=-1)  # (T, 3)
+    meta = packi[p]
     _valid, _t, u, v, ng = intersect_triangle(
         rays.org, rays.dir, rays.tnear, t * (1.0 + 1e-6) + 1e-30, v0, v1, v2)
     # quad second-triangle uv remap (kernels/geometry/quadv.h convention);
     # Ng needs no flip: the second triangle is stored with consistent winding
-    flip = tris.uv_flip[p] == 1
+    flip = meta[..., 0] == 1
     u = jnp.where(flip, 1.0 - u, u)
     v = jnp.where(flip, 1.0 - v, v)
     return Hits(
@@ -188,8 +197,8 @@ def _finalize_hits(tris: TrianglePrims, rays: Rays, t, prim) -> Hits:
         u=jnp.where(valid, u, 0.0),
         v=jnp.where(valid, v, 0.0),
         ng=jnp.where(valid[..., None], ng, 0.0),
-        prim_id=jnp.where(valid, tris.prim_id[p], -1),
-        geom_id=jnp.where(valid, tris.geom_id[p], -1),
+        prim_id=jnp.where(valid, meta[..., 1], -1),
+        geom_id=jnp.where(valid, meta[..., 2], -1),
         gprim=jnp.where(valid, p, -1),
         inst_id=jnp.full(valid.shape, -1, jnp.int32),
     )

@@ -6,8 +6,15 @@ batches are sorted into coherent groups before packetization — direction
 octant first (the stream traverser's octant partition,
 bvh_intersector_stream.h:44-113), then 30-bit morton code of the
 quantized origin. Shared-stack packets then see far fewer unique nodes.
-Sorting is a device-side argsort (one fused XLA op), costing a small
-fraction of traversal.
+
+Implementation note (v5e, measured): random gathers cost ~12 ms per
+gather op at 1M elements regardless of row width, while an XLA
+`lax.sort` moving the same data as sort payloads costs ~10 ms TOTAL.
+So both directions of the reorder ride the sort network:
+  * forward: one lax.sort with the 8 ray components (+ original index)
+    as payloads — no gathers;
+  * inverse ("unsort"): one lax.sort keyed on the original index with
+    (t, prim) as payloads — replaces two 13 ms gathers with ~7 ms.
 """
 from __future__ import annotations
 
@@ -32,19 +39,31 @@ def stream_sort_keys(rays: Rays, world_lower, world_upper) -> jnp.ndarray:
     return (octant << 30) | code
 
 
+def _sort_with_rays(keys: jnp.ndarray, rays: Rays):
+    """One stable lax.sort carrying the ray components + original index
+    as payloads. Returns (sorted_rays, perm)."""
+    org = rays.org.reshape(-1, 3)
+    d = rays.dir.reshape(-1, 3)
+    tn = rays.tnear.reshape(-1)
+    tf = rays.tfar.reshape(-1)
+    iota = jnp.arange(tn.shape[0], dtype=jnp.int32)
+    out = jax.lax.sort(
+        (keys, org[:, 0], org[:, 1], org[:, 2],
+         d[:, 0], d[:, 1], d[:, 2], tn, tf, iota), num_keys=1)
+    srays = Rays(jnp.stack(out[1:4], axis=-1), jnp.stack(out[4:7], axis=-1),
+                 out[7], out[8])
+    return srays, out[9]
+
+
 @jax.jit
 def sort_rays(rays: Rays, world_lower, world_upper):
     """Returns (sorted_rays, inverse_permutation). Jitted standalone so
     the eager-call path (bench/tutorial drivers) doesn't pay per-op
     dispatch."""
     keys = stream_sort_keys(rays, world_lower, world_upper)
-    perm = jnp.argsort(keys)
+    srays, perm = _sort_with_rays(keys, rays)
     inv = jnp.argsort(perm)
-    org = rays.org.reshape(-1, 3)[perm]
-    d = rays.dir.reshape(-1, 3)[perm]
-    tn = rays.tnear.reshape(-1)[perm]
-    tf = rays.tfar.reshape(-1)[perm]
-    return Rays(org, d, tn, tf), inv
+    return srays, inv
 
 
 @jax.jit
@@ -52,13 +71,36 @@ def sort_rays_perm(rays: Rays, world_lower, world_upper):
     """Like sort_rays but also returns the forward permutation, for
     callers that must co-sort per-ray payloads (e.g. MB ray times)."""
     keys = stream_sort_keys(rays, world_lower, world_upper)
-    perm = jnp.argsort(keys)
+    srays, perm = _sort_with_rays(keys, rays)
     inv = jnp.argsort(perm)
-    org = rays.org.reshape(-1, 3)[perm]
-    d = rays.dir.reshape(-1, 3)[perm]
-    tn = rays.tnear.reshape(-1)[perm]
-    tf = rays.tfar.reshape(-1)[perm]
-    return Rays(org, d, tn, tf), perm, inv
+    return srays, perm, inv
+
+
+@jax.jit
+def sort_rays_stream(rays: Rays, world_lower, world_upper):
+    """Stream-order variant: returns (sorted_rays, perm) WITHOUT the
+    inverse permutation — for consumers that stay in stream order
+    (unsorting via `unsort_by_perm` or not at all)."""
+    keys = stream_sort_keys(rays, world_lower, world_upper)
+    return _sort_with_rays(keys, rays)
+
+
+def unsort_by_perm(perm: jnp.ndarray, t: jnp.ndarray, prim: jnp.ndarray):
+    """Restore original ray order for the (t, prim) result pair with one
+    payload sort keyed on the original index (2 gathers = ~26 ms at 1M;
+    this sort = ~7 ms)."""
+    _, t_o, prim_o = jax.lax.sort((perm, t, prim), num_keys=1)
+    return t_o, prim_o
+
+
+def unsort_one(perm: jnp.ndarray, x: jnp.ndarray):
+    """Restore original order for a single per-ray array (bools ride as
+    i32 payloads — XLA sort payload dtypes are limited on TPU)."""
+    if x.dtype == jnp.bool_:
+        _, o = jax.lax.sort((perm, x.astype(jnp.int32)), num_keys=1)
+        return o.astype(jnp.bool_)
+    _, o = jax.lax.sort((perm, x), num_keys=1)
+    return o
 
 
 def unsort(x, inv):

@@ -63,12 +63,15 @@ def s2(r):
 
 timeit("s2 sort + kernel", s2, [(r,) for r in raysets])
 
-# stage 3: + unsort 2 gathers
+# stage 3: + unsort (payload sort)
+from embree_tpu.traverse.stream import sort_rays_stream, unsort_by_perm
+
+
 @jax.jit
 def s3(r):
-    srays, perm, inv = sort_rays_perm(r, cs.world_lower, cs.world_upper)
+    srays, perm = sort_rays_stream(r, cs.world_lower, cs.world_upper)
     t_s, prim_s = intersect_pallas_raw(cs.pallas, srays)
-    return t_s[inv], prim_s[inv]
+    return unsort_by_perm(perm, t_s, prim_s)
 
 
 timeit("s3 sort + kernel + unsort", s3, [(r,) for r in raysets])
@@ -78,9 +81,10 @@ timeit("s3 sort + kernel + unsort", s3, [(r,) for r in raysets])
 def s4(r):
     flat = Rays(r.org.reshape(-1, 3), r.dir.reshape(-1, 3),
                 r.tnear.reshape(-1), r.tfar.reshape(-1))
-    srays, perm, inv = sort_rays_perm(flat, cs.world_lower, cs.world_upper)
+    srays, perm = sort_rays_stream(flat, cs.world_lower, cs.world_upper)
     t_s, prim_s = intersect_pallas_raw(cs.pallas, srays)
-    return _finalize_hits(cs.tris, flat, t_s[inv], prim_s[inv])
+    t_u, prim_u = unsort_by_perm(perm, t_s, prim_s)
+    return _finalize_hits(cs.tris, flat, t_u, prim_u)
 
 
 timeit("s4 full fast path (manual)", s4, [(r,) for r in raysets])

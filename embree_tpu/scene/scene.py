@@ -272,8 +272,15 @@ class Scene:
 
         self._progress(0.3)
         # HIGH quality: bounded spatial-split duplication (rtcore_common's
-        # RTC_BUILD_QUALITY_HIGH; budget = embree's 1.2 replication cap)
+        # RTC_BUILD_QUALITY_HIGH; budget = embree's 1.2 replication cap).
+        # Node width from the tri_accel override string (BVH4Factory /
+        # BVH8Factory analog). BVH4 measures faster in the pallas kernel
+        # (BVH8 barely cuts popped refs but doubles per-node cost) and is
+        # the default; bvh8.* stays available for parity/experiments.
+        ta = self.device.state.tri_accel
+        branching = 8 if ta.startswith("bvh8") else 4
         settings = BuildSettings(
+            branching_factor=branching,
             spatial_factor=1.2 if self.quality == BuildQuality.HIGH else 1.0)
         with profile_phase("scene.build_sah"):
             bvh_np = build_sah(lower, upper, settings,

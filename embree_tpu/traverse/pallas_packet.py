@@ -46,7 +46,9 @@ from ..core.rayhit import Hits, Rays
 from ..scene.prims import TrianglePrims
 from .packet import _finalize_hits
 
-DEFAULT_SUB = 32                # sublanes per packet tile (rays = SUB*128)
+DEFAULT_SUB = 64                # sublanes per packet tile (rays = SUB*128)
+                                # (sub-sweep on v5e: 64 > 48 > 32 > 128 on
+                                # the sorted 1M incoherent workload)
 TILE = (8, 128)                 # legacy alias (pallas_cbvh uses its own)
 NT_PER_ROW = 10                 # tris per row (10 x 12 floats + 8 pad)
 MAX_LEAF = 8                    # builder max_leaf_size must stay <= 11
@@ -56,14 +58,30 @@ ROBUST_MAX = np.float32(1.0 + 3.0 * 2.0 ** -23)
 INF = np.float32(np.inf)
 
 
-class PallasScene(NamedTuple):
-    """VMEM-packed accel produced at commit time."""
+@jax.tree_util.register_pytree_node_class
+class PallasScene:
+    """VMEM-packed accel produced at commit time.
 
-    nodes: jnp.ndarray     # (M, 128) f32 node rows
-    tdata: jnp.ndarray     # (ceil(T/10)+1, 128) f32 rows, BVH leaf order
-    bvh_to_orig: jnp.ndarray  # (T,) i32: BVH-order slot -> original prim id
-    num_nodes: int
-    num_prims: int
+    num_nodes/num_prims/width are STATIC aux data (python ints) so the
+    kernel variant (node width, leaf layout) can be selected inside a
+    caller's jit trace."""
+
+    def __init__(self, nodes, tdata, bvh_to_orig, num_nodes, num_prims,
+                 width=4):
+        self.nodes = nodes           # (M, 128) f32 node rows
+        self.tdata = tdata           # (ceil(T/10)+1, 128) f32 leaf rows
+        self.bvh_to_orig = bvh_to_orig  # (T,) i32 BVH slot -> orig prim
+        self.num_nodes = num_nodes
+        self.num_prims = num_prims
+        self.width = width
+
+    def tree_flatten(self):
+        return ((self.nodes, self.tdata, self.bvh_to_orig),
+                (self.num_nodes, self.num_prims, self.width))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
     @property
     def vmem_bytes(self) -> int:
@@ -73,23 +91,26 @@ class PallasScene(NamedTuple):
 def pack_scene(bvh, tris, host_tris=None) -> PallasScene:
     """Repack builder output into the kernel's 128-lane row layout.
 
+    Works for any node width W <= 16 (BVH4 and BVH8 in practice): the
+    row is 8 stride-W fields [lo_x lo_y lo_z hi_x hi_y hi_z child count].
+
     Pass the HOST-side builder output (BVHArraysNP) and `host_tris`
     (v0, v1, v2 numpy arrays) when available: np.asarray on device
     arrays is a device->host pull, which is catastrophically slow over
     the axon tunnel (~350 s at 500k prims, measured)."""
-    lower = np.asarray(bvh.lower)    # (M, 4, 3)
+    lower = np.asarray(bvh.lower)    # (M, W, 3)
     upper = np.asarray(bvh.upper)
-    child = np.asarray(bvh.child)    # (M, 4)
+    child = np.asarray(bvh.child)    # (M, W)
     count = np.asarray(bvh.count)
     order = np.asarray(bvh.prim_order)
-    M = lower.shape[0]
+    M, W = child.shape
 
     rows = np.zeros((M, 128), np.float32)
     for a in range(3):
-        rows[:, 4 * a: 4 * a + 4] = lower[:, :, a]
-        rows[:, 12 + 4 * a: 12 + 4 * a + 4] = upper[:, :, a]
-    rows[:, 24:28] = child.astype(np.float32)
-    rows[:, 28:32] = count.astype(np.float32)
+        rows[:, W * a: W * a + W] = lower[:, :, a]
+        rows[:, W * (3 + a): W * (3 + a) + W] = upper[:, :, a]
+    rows[:, 6 * W: 7 * W] = child.astype(np.float32)
+    rows[:, 7 * W: 8 * W] = count.astype(np.float32)
 
     # triangles in BVH order, 10 per row, +1 pad row so a leaf's 2-row DMA
     # never runs off the end
@@ -105,11 +126,17 @@ def pack_scene(bvh, tris, host_tris=None) -> PallasScene:
         v2 = hv2[order]
     else:
         v0 = v1 = v2 = np.zeros((0, 3), np.float32)
+    # precomputed Moeller layout per prim: [v0 e1 e2 Ng] with e1 = v0-v1,
+    # e2 = v2-v0, Ng = cross(e2, e1) — embree Triangle4's v0/e1/e2
+    # precompute (triangle.h), saves 15 full-tile vector ops per leaf test
     td = np.zeros((max(T, 1), 12), np.float32)
     if T:
+        e1 = v0 - v1
+        e2 = v2 - v0
         td[:, 0:3] = v0
-        td[:, 3:6] = v1
-        td[:, 6:9] = v2
+        td[:, 3:6] = e1
+        td[:, 6:9] = e2
+        td[:, 9:12] = np.cross(e2, e1)
     nrow = -(-td.shape[0] // NT_PER_ROW)
     pad_prims = nrow * NT_PER_ROW - td.shape[0]
     td = np.concatenate([td, np.zeros((pad_prims, 12), np.float32)])
@@ -122,6 +149,7 @@ def pack_scene(bvh, tris, host_tris=None) -> PallasScene:
         bvh_to_orig=jnp.asarray(order, jnp.int32),
         num_nodes=M,
         num_prims=T,
+        width=W,
     )
 
 
@@ -129,410 +157,8 @@ def _rcp_safe(a):
     return jnp.where(jnp.abs(a) < 1e-30, jnp.where(a < 0, -1e30, 1e30), 1.0 / a)
 
 
-def _traversal_kernel(occluded: bool, sub: int = DEFAULT_SUB):
-    """Builds the kernel body; occluded=True emits the any-hit variant
-    (occlusion encoded as t == -inf; early exit when every ray occluded).
-    Node-row DMAs are double-buffered: while a node is processed, the next
-    stack top's row is already in flight (hides the ~0.8us VMEM->SMEM
-    round trip measured on v5e)."""
-    tile = (sub, 128)
-
-    def kernel(params, nodes, tdata,
-               ox, oy, oz, dx, dy, dz, tn, tf,
-               t_out, prim_out, stats_out,
-               stack, nrow, lbuf, nsem, lsem):
-        rdx = _rcp_safe(dx[:]); rdy = _rcp_safe(dy[:]); rdz = _rcp_safe(dz[:])
-        orx = ox[:] * rdx; ory = oy[:] * rdy; orz = oz[:] * rdz
-        o_x, o_y, o_z = ox[:], oy[:], oz[:]
-        d_x, d_y, d_z = dx[:], dy[:], dz[:]
-        tnear = tn[:]
-        max_pops = params[0]
-
-        def node_dma(slot, node):
-            return pltpu.make_async_copy(nodes.at[node], nrow.at[slot],
-                                         nsem.at[slot])
-
-        def mt_leaf(start, cnt, t, prim):
-            """Moeller-Trumbore over cnt contiguous BVH-order prims
-            (triangle_intersector_moeller.h:80-113 semantics). Two tri
-            rows are DMA'd to SMEM before the scalar reads."""
-            row = start // NT_PER_ROW
-            ldma = pltpu.make_async_copy(tdata.at[pl.ds(row, 2)], lbuf, lsem)
-            ldma.start()
-            ldma.wait()
-
-            def body(i, carry):
-                t, prim = carry
-                p = start + i
-                rr = p // NT_PER_ROW - row
-                tc = (p % NT_PER_ROW) * 12
-                v0x = lbuf[rr, tc + 0]; v0y = lbuf[rr, tc + 1]; v0z = lbuf[rr, tc + 2]
-                v1x = lbuf[rr, tc + 3]; v1y = lbuf[rr, tc + 4]; v1z = lbuf[rr, tc + 5]
-                v2x = lbuf[rr, tc + 6]; v2y = lbuf[rr, tc + 7]; v2z = lbuf[rr, tc + 8]
-                e1x = v0x - v1x; e1y = v0y - v1y; e1z = v0z - v1z
-                e2x = v2x - v0x; e2y = v2y - v0y; e2z = v2z - v0z
-                ngx = e2y * e1z - e2z * e1y
-                ngy = e2z * e1x - e2x * e1z
-                ngz = e2x * e1y - e2y * e1x
-                cx = v0x - o_x; cy = v0y - o_y; cz = v0z - o_z
-                rx = cy * d_z - cz * d_y
-                ry = cz * d_x - cx * d_z
-                rz = cx * d_y - cy * d_x
-                den = ngx * d_x + ngy * d_y + ngz * d_z
-                absden = jnp.abs(den)
-                sgn = jnp.where(den >= 0.0, 1.0, -1.0)
-                u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
-                v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
-                t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
-                ok = (den != 0.0) & (u_s >= 0.0) & (v_s >= 0.0) \
-                    & (u_s + v_s <= absden) \
-                    & (absden * tnear < t_s) & (t_s <= absden * t)
-                if occluded:
-                    return jnp.where(ok, -INF, t), prim
-                t_hit = t_s / jnp.maximum(absden, 1e-37)
-                return jnp.where(ok, t_hit, t), jnp.where(ok, p, prim)
-
-            return jax.lax.fori_loop(0, jnp.minimum(cnt, MAX_LEAF), body,
-                                     (t, prim))
-
-        def step(carry):
-            # invariant: `cur` was already popped and its row DMA (slot =
-            # pops % 2) is in flight; the stack holds sp further entries.
-            sp, t, prim, pops, ltests, cur = carry
-            slot = pops % 2
-            node_dma(slot, cur).wait()
-
-            keys, childs, counts, pushes = [], [], [], []
-            for c in range(4):
-                lox = nrow[slot, 0 + c]; loy = nrow[slot, 4 + c]; loz = nrow[slot, 8 + c]
-                hix = nrow[slot, 12 + c]; hiy = nrow[slot, 16 + c]; hiz = nrow[slot, 20 + c]
-                tx0 = lox * rdx - orx; tx1 = hix * rdx - orx
-                ty0 = loy * rdy - ory; ty1 = hiy * rdy - ory
-                tz0 = loz * rdz - orz; tz1 = hiz * rdz - orz
-                tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                               jnp.minimum(ty0, ty1)),
-                                   jnp.minimum(tz0, tz1)) * ROBUST_MIN
-                tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                               jnp.maximum(ty0, ty1)),
-                                   jnp.maximum(tz0, tz1)) * ROBUST_MAX
-                tmin = jnp.maximum(tmin, tnear)
-                hitm = (tmin <= tmax) & (tmin <= t)
-                dist = jnp.min(jnp.where(hitm, tmin, INF))
-                any_hit = dist < INF
-
-                cc = nrow[slot, 24 + c].astype(jnp.int32)
-                cnt = nrow[slot, 28 + c].astype(jnp.int32)
-
-                is_leaf = any_hit & (cnt > 0)
-                t, prim = jax.lax.cond(
-                    is_leaf,
-                    lambda tp, cc=cc, cnt=cnt: mt_leaf(cc, cnt, *tp),
-                    lambda tp: tp, (t, prim))
-                ltests = ltests + jnp.where(is_leaf, cnt, 0)
-
-                push_c = any_hit & (cnt == 0)
-                keys.append(jnp.where(push_c, dist, -INF))
-                childs.append(cc)
-                pushes.append(push_c)
-
-            # 4-wide sorting network, descending key (farthest pushed
-            # first => nearest on top of the stack)
-            for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-                swap = keys[i] < keys[j]
-                keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
-                                    jnp.where(swap, keys[i], keys[j]))
-                childs[i], childs[j] = (jnp.where(swap, childs[j], childs[i]),
-                                        jnp.where(swap, childs[i], childs[j]))
-                pushes[i], pushes[j] = (jnp.where(swap, pushes[j], pushes[i]),
-                                        jnp.where(swap, pushes[i], pushes[j]))
-            for k in range(4):
-                sp_k = sp
-
-                @pl.when(pushes[k])
-                def _(sp_k=sp_k, k=k):
-                    stack[sp_k] = childs[k]
-
-                sp = sp + pushes[k].astype(jnp.int32)
-
-            # pop the next node NOW and prefetch its row into the other slot
-            nxt = jnp.where(sp > 0, stack[jnp.maximum(sp - 1, 0)], -1)
-            node_dma(1 - slot, jnp.maximum(nxt, 0)).start()
-            sp = jnp.maximum(sp - 1, 0)
-
-            return sp, t, prim, pops + 1, ltests, nxt
-
-        if occluded:
-            def cond(carry):
-                t = carry[1]
-                live = jnp.max(t) > -INF
-                return (carry[5] >= 0) & live & (carry[3] < max_pops)
-        else:
-            def cond(carry):
-                return (carry[5] >= 0) & (carry[3] < max_pops)
-
-        prim0 = jnp.full(tile, -1, jnp.int32)
-        node_dma(0, 0).start()  # warmup: root row
-        sp, t, prim, pops, ltests, _cur = jax.lax.while_loop(
-            cond, step,
-            (jnp.int32(0), tf[:], prim0, jnp.int32(0), jnp.int32(0),
-             jnp.int32(0)))
-        # drain the last prefetch (one start per iteration + warmup, one
-        # wait per iteration -> exactly one outstanding here)
-        node_dma(pops % 2, 0).wait()
-
-        t_out[:] = t
-        prim_out[:] = prim
-        b = pl.program_id(0)
-        stats_out[b, 0] = pops
-        stats_out[b, 1] = ltests
-
-    return kernel
-
-
 SENT = np.int32(-2 ** 31)       # chain-finished sentinel (v2 kernel)
 
-
-def _traversal_kernel_v2(occluded: bool, sub: int = DEFAULT_SUB,
-                         chains: int = 2):
-    """v2 kernel: unified node/leaf stack + interleaved chains.
-
-    Two latency sinks dominate v1 (~0.9us per pop on v5e): the node-row
-    DMA round trip and the 4 cross-lane min-reductions per pop; leaf
-    visits stall a further un-prefetched 2-row DMA.  v2 fixes both:
-
-      * Leaves live ON the stack as encoded refs (-((start<<4|cnt)+1) —
-        embree's tagged NodeRef, bvh.h:118-141), so the next entry's row
-        (node OR leaf pair) is always prefetched one iteration ahead.
-      * The packet is split into `chains` independent sub-packets, each
-        with its own stack, interleaved in one loop body: chain B's
-        vector work overlaps chain A's DMA + reduction latency, and the
-        smaller (sub/chains, 128) tiles cut per-reduction latency.
-    """
-    csub = sub // chains
-    assert csub * chains == sub
-
-    def kernel(params, nodes, tdata,
-               ox, oy, oz, dx, dy, dz, tn, tf,
-               t_out, prim_out, stats_out,
-               stack, nrow, lbuf, nsem, lsem):
-        max_iters = params[0]
-
-        # per-chain ray tile slices (static)
-        def sl(a, ci):
-            return a[ci * csub:(ci + 1) * csub]
-
-        pre = []
-        for ci in range(chains):
-            rdx = _rcp_safe(sl(dx, ci)); rdy = _rcp_safe(sl(dy, ci))
-            rdz = _rcp_safe(sl(dz, ci))
-            pre.append(dict(
-                rdx=rdx, rdy=rdy, rdz=rdz,
-                orx=sl(ox, ci) * rdx, ory=sl(oy, ci) * rdy,
-                orz=sl(oz, ci) * rdz,
-                o=(sl(ox, ci), sl(oy, ci), sl(oz, ci)),
-                d=(sl(dx, ci), sl(dy, ci), sl(dz, ci)),
-                tnear=sl(tn, ci)))
-
-        def node_dma(ci, slot, node):
-            return pltpu.make_async_copy(nodes.at[node],
-                                         nrow.at[2 * ci + slot],
-                                         nsem.at[2 * ci + slot])
-
-        def leaf_dma(ci, slot, row):
-            return pltpu.make_async_copy(tdata.at[pl.ds(row, 2)],
-                                         lbuf.at[2 * ci + slot],
-                                         lsem.at[2 * ci + slot])
-
-        def wait_cur(ci, slot, cur):
-            @pl.when(cur >= 0)
-            def _():
-                node_dma(ci, slot, cur).wait()
-
-            @pl.when((cur < 0) & (cur != SENT))
-            def _():
-                v = -cur - 1
-                leaf_dma(ci, slot, (v >> 4) // NT_PER_ROW).wait()
-
-        def start_nxt(ci, slot, nxt):
-            @pl.when(nxt >= 0)
-            def _():
-                node_dma(ci, slot, nxt).start()
-
-            @pl.when((nxt < 0) & (nxt != SENT))
-            def _():
-                v = -nxt - 1
-                leaf_dma(ci, slot, (v >> 4) // NT_PER_ROW).start()
-
-        def mt_leaf(ci, slot, cur, t, prim):
-            v = -cur - 1
-            start = v >> 4
-            cnt = v & 15
-            row = start // NT_PER_ROW
-            o_x, o_y, o_z = pre[ci]["o"]
-            d_x, d_y, d_z = pre[ci]["d"]
-            tnear = pre[ci]["tnear"]
-            b = 2 * ci + slot
-
-            def body(i, carry):
-                t, prim = carry
-                p = start + i
-                rr = p // NT_PER_ROW - row
-                tc = (p % NT_PER_ROW) * 12
-                v0x = lbuf[b, rr, tc + 0]; v0y = lbuf[b, rr, tc + 1]
-                v0z = lbuf[b, rr, tc + 2]
-                v1x = lbuf[b, rr, tc + 3]; v1y = lbuf[b, rr, tc + 4]
-                v1z = lbuf[b, rr, tc + 5]
-                v2x = lbuf[b, rr, tc + 6]; v2y = lbuf[b, rr, tc + 7]
-                v2z = lbuf[b, rr, tc + 8]
-                e1x = v0x - v1x; e1y = v0y - v1y; e1z = v0z - v1z
-                e2x = v2x - v0x; e2y = v2y - v0y; e2z = v2z - v0z
-                ngx = e2y * e1z - e2z * e1y
-                ngy = e2z * e1x - e2x * e1z
-                ngz = e2x * e1y - e2y * e1x
-                cx = v0x - o_x; cy = v0y - o_y; cz = v0z - o_z
-                rx = cy * d_z - cz * d_y
-                ry = cz * d_x - cx * d_z
-                rz = cx * d_y - cy * d_x
-                den = ngx * d_x + ngy * d_y + ngz * d_z
-                absden = jnp.abs(den)
-                sgn = jnp.where(den >= 0.0, 1.0, -1.0)
-                u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
-                v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
-                t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
-                ok = (den != 0.0) & (u_s >= 0.0) & (v_s >= 0.0) \
-                    & (u_s + v_s <= absden) \
-                    & (absden * tnear < t_s) & (t_s <= absden * t)
-                if occluded:
-                    return jnp.where(ok, -INF, t), prim
-                t_hit = t_s / jnp.maximum(absden, 1e-37)
-                return jnp.where(ok, t_hit, t), jnp.where(ok, p, prim)
-
-            return jax.lax.fori_loop(0, jnp.minimum(cnt, MAX_LEAF), body,
-                                     (t, prim))
-
-        def chain_step(ci, slot, sp, cur, t, prim, ltests):
-            wait_cur(ci, slot, cur)
-            p = pre[ci]
-
-            # box tests against the node row (garbage when cur is a
-            # leaf/sentinel — pushes are masked below)
-            b = 2 * ci + slot
-            keys, refs, pushes = [], [], []
-            is_node = cur >= 0
-            for c in range(4):
-                lox = nrow[b, 0 + c]; loy = nrow[b, 4 + c]
-                loz = nrow[b, 8 + c]
-                hix = nrow[b, 12 + c]; hiy = nrow[b, 16 + c]
-                hiz = nrow[b, 20 + c]
-                tx0 = lox * p["rdx"] - p["orx"]
-                tx1 = hix * p["rdx"] - p["orx"]
-                ty0 = loy * p["rdy"] - p["ory"]
-                ty1 = hiy * p["rdy"] - p["ory"]
-                tz0 = loz * p["rdz"] - p["orz"]
-                tz1 = hiz * p["rdz"] - p["orz"]
-                tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                               jnp.minimum(ty0, ty1)),
-                                   jnp.minimum(tz0, tz1)) * ROBUST_MIN
-                tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                               jnp.maximum(ty0, ty1)),
-                                   jnp.maximum(tz0, tz1)) * ROBUST_MAX
-                tmin = jnp.maximum(tmin, p["tnear"])
-                hitm = (tmin <= tmax) & (tmin <= t)
-                dist = jnp.min(jnp.where(hitm, tmin, INF))
-                any_hit = is_node & (dist < INF)
-
-                cc = nrow[b, 24 + c].astype(jnp.int32)
-                cnt = nrow[b, 28 + c].astype(jnp.int32)
-                ref = jnp.where(cnt > 0, -(((cc << 4) | cnt) + 1), cc)
-                keys.append(jnp.where(any_hit & (cnt >= 0), dist, -INF))
-                refs.append(ref)
-                pushes.append(any_hit & (cnt >= 0))
-
-            for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-                swap = keys[i] < keys[j]
-                keys[i], keys[j] = (jnp.where(swap, keys[j], keys[i]),
-                                    jnp.where(swap, keys[i], keys[j]))
-                refs[i], refs[j] = (jnp.where(swap, refs[j], refs[i]),
-                                    jnp.where(swap, refs[i], refs[j]))
-                pushes[i], pushes[j] = (
-                    jnp.where(swap, pushes[j], pushes[i]),
-                    jnp.where(swap, pushes[i], pushes[j]))
-            for k in range(4):
-                sp_k = sp
-
-                @pl.when(pushes[k])
-                def _(sp_k=sp_k, k=k):
-                    stack[ci, sp_k] = refs[k]
-
-                sp = sp + pushes[k].astype(jnp.int32)
-
-            # leaf intersection (prefetched rows already in lbuf)
-            is_leaf = (cur < 0) & (cur != SENT)
-            t, prim = jax.lax.cond(
-                is_leaf,
-                lambda tp: mt_leaf(ci, slot, cur, *tp),
-                lambda tp: tp, (t, prim))
-            ltests = ltests + jnp.where(is_leaf, (-cur - 1) & 15, 0)
-
-            nxt = jnp.where(sp > 0, stack[ci, jnp.maximum(sp - 1, 0)],
-                            SENT)
-            start_nxt(ci, 1 - slot, nxt)
-            sp = jnp.maximum(sp - 1, 0)
-            return sp, nxt, t, prim, ltests
-
-        def step(carry):
-            sps, curs, ts, prims, iters, ltests = carry
-            slot = iters % 2
-            new_sps, new_curs, new_ts, new_prims = [], [], [], []
-            for ci in range(chains):
-                sp, nxt, t, prim, ltests = chain_step(
-                    ci, slot, sps[ci], curs[ci], ts[ci], prims[ci],
-                    ltests)
-                new_sps.append(sp)
-                new_curs.append(nxt)
-                new_ts.append(t)
-                new_prims.append(prim)
-            return (tuple(new_sps), tuple(new_curs), tuple(new_ts),
-                    tuple(new_prims), iters + 1, ltests)
-
-        if occluded:
-            def cond(carry):
-                live = jnp.array(False)
-                for ci in range(chains):
-                    live = live | (jnp.max(carry[2][ci]) > -INF)
-                any_work = jnp.array(False)
-                for ci in range(chains):
-                    any_work = any_work | (carry[1][ci] != SENT)
-                return any_work & live & (carry[4] < max_iters)
-        else:
-            def cond(carry):
-                any_work = jnp.array(False)
-                for ci in range(chains):
-                    any_work = any_work | (carry[1][ci] != SENT)
-                return any_work & (carry[4] < max_iters)
-
-        for ci in range(chains):
-            node_dma(ci, 0, 0).start()  # warm both chains at the root
-        init = (tuple(jnp.int32(0) for _ in range(chains)),
-                tuple(jnp.int32(0) for _ in range(chains)),
-                tuple(sl(tf, ci)[:] for ci in range(chains)),
-                tuple(jnp.full((csub, 128), -1, jnp.int32)
-                      for _ in range(chains)),
-                jnp.int32(0), jnp.int32(0))
-        sps, curs, ts, prims, iters, ltests = jax.lax.while_loop(
-            cond, step, init)
-        # drain outstanding prefetches (one per live chain)
-        for ci in range(chains):
-            wait_cur(ci, iters % 2, curs[ci])
-
-        for ci in range(chains):
-            t_out[ci * csub:(ci + 1) * csub] = ts[ci]
-            prim_out[ci * csub:(ci + 1) * csub] = prims[ci]
-        bid = pl.program_id(0)
-        stats_out[bid, 0] = iters
-        stats_out[bid, 1] = ltests
-
-    return kernel
 
 
 _BLOCK_BUCKETS = (1, 4, 16, 64, 256, 1024, 4096)
@@ -569,40 +195,22 @@ def _ray_tiles(rays: Rays, sub: int = DEFAULT_SUB):
     return tiles, R, Rp // rpp
 
 
-def _pallas_call(occluded: bool, num_blocks: int, interpret: bool,
-                 sub: int = DEFAULT_SUB, tables_in_hbm: bool = False):
-    # node/tri tables are only ever touched by row DMAs, so they can stay
-    # in HBM for big scenes — removes the VMEM scene-size cap at the cost
-    # of a longer (but prefetch-hidden) per-row fetch
-    table_spec = pl.BlockSpec(memory_space=pltpu.ANY if tables_in_hbm
-                              else pltpu.VMEM)
-    tile = (sub, 128)
-    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _traversal_kernel(occluded, sub),
-        grid=(num_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  table_spec, table_spec] + [ray_spec] * 8,
-        out_specs=(ray_spec, ray_spec,
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        out_shape=(
-            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.int32),
-            jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((2, 128), jnp.float32),
-            pltpu.SMEM((2, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )
+
+# distance-sorting networks per node width (4: 5 comparators; 8: Batcher
+# odd-even mergesort, 19 comparators) — branch-free traverseClosestHit
+_SORT_NETS = {
+    4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+    8: ((0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+        (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)),
+}
 
 
 def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
-                         K: int = 4):
+                         K: int = 4, width: int = 4):
     """v3 kernel: unified node/leaf stack + K-wide pops.
 
     v1/v2 profiling on v5e shows per-pop cost is the serial chain
@@ -664,17 +272,15 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                 p = start + k
                 rr = p // NT_PER_ROW - row
                 tc = (p % NT_PER_ROW) * 12
+                # precomputed [v0 e1 e2 Ng] rows (pack_scene)
                 v0x = lbuf[i, rr, tc + 0]; v0y = lbuf[i, rr, tc + 1]
                 v0z = lbuf[i, rr, tc + 2]
-                v1x = lbuf[i, rr, tc + 3]; v1y = lbuf[i, rr, tc + 4]
-                v1z = lbuf[i, rr, tc + 5]
-                v2x = lbuf[i, rr, tc + 6]; v2y = lbuf[i, rr, tc + 7]
-                v2z = lbuf[i, rr, tc + 8]
-                e1x = v0x - v1x; e1y = v0y - v1y; e1z = v0z - v1z
-                e2x = v2x - v0x; e2y = v2y - v0y; e2z = v2z - v0z
-                ngx = e2y * e1z - e2z * e1y
-                ngy = e2z * e1x - e2x * e1z
-                ngz = e2x * e1y - e2y * e1x
+                e1x = lbuf[i, rr, tc + 3]; e1y = lbuf[i, rr, tc + 4]
+                e1z = lbuf[i, rr, tc + 5]
+                e2x = lbuf[i, rr, tc + 6]; e2y = lbuf[i, rr, tc + 7]
+                e2z = lbuf[i, rr, tc + 8]
+                ngx = lbuf[i, rr, tc + 9]; ngy = lbuf[i, rr, tc + 10]
+                ngz = lbuf[i, rr, tc + 11]
                 cx = v0x - o_x; cy = v0y - o_y; cz = v0z - o_z
                 rx = cy * d_z - cz * d_y
                 ry = cz * d_x - cx * d_z
@@ -696,13 +302,15 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
             return jax.lax.fori_loop(0, jnp.minimum(cnt, MAX_LEAF), body,
                                      (t, prim))
 
+        W = width
+
         def process_node(i, t, prim, sp):
             keys, refs, pushes = [], [], []
-            for c in range(4):
-                lox = nrow[i, 0 + c]; loy = nrow[i, 4 + c]
-                loz = nrow[i, 8 + c]
-                hix = nrow[i, 12 + c]; hiy = nrow[i, 16 + c]
-                hiz = nrow[i, 20 + c]
+            for c in range(W):
+                lox = nrow[i, 0 * W + c]; loy = nrow[i, 1 * W + c]
+                loz = nrow[i, 2 * W + c]
+                hix = nrow[i, 3 * W + c]; hiy = nrow[i, 4 * W + c]
+                hiz = nrow[i, 5 * W + c]
                 tx0 = lox * rdx - orx; tx1 = hix * rdx - orx
                 ty0 = loy * rdy - ory; ty1 = hiy * rdy - ory
                 tz0 = loz * rdz - orz; tz1 = hiz * rdz - orz
@@ -715,14 +323,14 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                 tmin = jnp.maximum(tmin, tnear)
                 hitm = (tmin <= tmax) & (tmin <= t)
                 dist = jnp.min(jnp.where(hitm, tmin, INF))
-                cc = nrow[i, 24 + c].astype(jnp.int32)
-                cnt = nrow[i, 28 + c].astype(jnp.int32)
+                cc = nrow[i, 6 * W + c].astype(jnp.int32)
+                cnt = nrow[i, 7 * W + c].astype(jnp.int32)
                 ok = (dist < INF) & (cnt >= 0)
                 ref = jnp.where(cnt > 0, -(((cc << 4) | cnt) + 1), cc)
                 keys.append(jnp.where(ok, dist, -INF))
                 refs.append(ref)
                 pushes.append(ok)
-            for (a, b) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+            for (a, b) in _SORT_NETS[W]:
                 swap = keys[a] < keys[b]
                 keys[a], keys[b] = (jnp.where(swap, keys[b], keys[a]),
                                     jnp.where(swap, keys[a], keys[b]))
@@ -731,7 +339,7 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                 pushes[a], pushes[b] = (
                     jnp.where(swap, pushes[b], pushes[a]),
                     jnp.where(swap, pushes[a], pushes[b]))
-            for k in range(4):
+            for k in range(W):
                 sp_k = sp
 
                 @pl.when(pushes[k])
@@ -792,13 +400,13 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
 
 def _pallas_call_v3(occluded: bool, num_blocks: int, interpret: bool,
                     sub: int = DEFAULT_SUB, tables_in_hbm: bool = False,
-                    K: int = 4):
+                    K: int = 4, width: int = 4):
     table_spec = pl.BlockSpec(memory_space=pltpu.ANY if tables_in_hbm
                               else pltpu.VMEM)
     tile = (sub, 128)
     ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _traversal_kernel_v3(occluded, sub, K),
+        _traversal_kernel_v3(occluded, sub, K, width),
         grid=(num_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   table_spec, table_spec] + [ray_spec] * 8,
@@ -820,35 +428,6 @@ def _pallas_call_v3(occluded: bool, num_blocks: int, interpret: bool,
     )
 
 
-def _pallas_call_v2(occluded: bool, num_blocks: int, interpret: bool,
-                    sub: int = DEFAULT_SUB, tables_in_hbm: bool = False,
-                    chains: int = 2):
-    table_spec = pl.BlockSpec(memory_space=pltpu.ANY if tables_in_hbm
-                              else pltpu.VMEM)
-    tile = (sub, 128)
-    ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _traversal_kernel_v2(occluded, sub, chains),
-        grid=(num_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  table_spec, table_spec] + [ray_spec] * 8,
-        out_specs=(ray_spec, ray_spec,
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        out_shape=(
-            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.int32),
-            jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.SMEM((chains, STACK_DEPTH), jnp.int32),
-            pltpu.SMEM((2 * chains, 128), jnp.float32),
-            pltpu.SMEM((2 * chains, 2, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2 * chains,)),
-            pltpu.SemaphoreType.DMA((2 * chains,)),
-        ],
-        interpret=interpret,
-    )
-
 
 VMEM_TABLE_BUDGET = 12 * 1024 * 1024
 
@@ -863,7 +442,8 @@ def _run_intersect(ps: PallasScene, tiles, num_blocks: int, interpret=False,
     params = jnp.asarray([262144], jnp.int32)
     hbm = ps.vmem_bytes > VMEM_TABLE_BUDGET
     return _pallas_call_v3(False, num_blocks, interpret, sub, hbm,
-                           POP_WIDTH)(params, ps.nodes, ps.tdata, *tiles)
+                           POP_WIDTH, ps.width)(
+        params, ps.nodes, ps.tdata, *tiles)
 
 
 @functools.partial(jax.jit,
@@ -873,7 +453,8 @@ def _run_occluded(ps: PallasScene, tiles, num_blocks: int, interpret=False,
     params = jnp.asarray([262144], jnp.int32)
     hbm = ps.vmem_bytes > VMEM_TABLE_BUDGET
     return _pallas_call_v3(True, num_blocks, interpret, sub, hbm,
-                           POP_WIDTH)(params, ps.nodes, ps.tdata, *tiles)
+                           POP_WIDTH, ps.width)(
+        params, ps.nodes, ps.tdata, *tiles)
 
 
 @functools.partial(jax.jit, static_argnames=("R",))

@@ -73,11 +73,12 @@ def test_pack_scene_roundtrip(rng):
     verts, idx = random_triangles(rng, 64)
     cs = _committed(verts, idx)
     ps = cs.pallas
-    # node rows: lanes [0:4] = lower-x per child, [24:28] = child as float
+    # node rows: stride-W fields [lo_x lo_y lo_z hi_x hi_y hi_z child count]
+    W = ps.width
     lo = np.asarray(cs.bvh.lower)
     rows = np.asarray(ps.nodes)
-    np.testing.assert_allclose(rows[:, 0:4], lo[:, :, 0])
-    np.testing.assert_allclose(rows[:, 24:28].astype(np.int32),
+    np.testing.assert_allclose(rows[:, 0:W], lo[:, :, 0])
+    np.testing.assert_allclose(rows[:, 6 * W:7 * W].astype(np.int32),
                                np.asarray(cs.bvh.child))
     # triangle rows are prim_order-ordered
     order = np.asarray(cs.bvh.prim_order)

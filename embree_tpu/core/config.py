@@ -78,6 +78,9 @@ class State:
     float_exceptions: bool = False
     ignore_config_files: bool = False
     hugepages: bool = False  # accepted, meaningless on TPU
+    # EMBREE_BACKFACE_CULLING analog — a runtime config key here instead
+    # of a compile flag; hits with dot(Ng, dir) >= 0 are culled when on
+    backface_culling: bool = False
 
     # host builder selection: "default"/"native" (C++), "python" (numpy)
     builder: str = "default"
@@ -125,7 +128,8 @@ class State:
     def _set(self, k: str, v: str) -> None:
         ints = {"threads", "verbose", "benchmark", "packet_size",
                 "traversal_stack_depth"}
-        bools = {"float_exceptions", "ignore_config_files", "hugepages"}
+        bools = {"float_exceptions", "ignore_config_files", "hugepages",
+                 "backface_culling"}
         sizes = {"tessellation_cache_size"}
         floats = {"max_spatial_split_replications"}
         strs = {"isa", "tri_accel", "tri_accel_mb", "quad_accel", "hair_accel",

@@ -71,6 +71,7 @@ class _GeometryHandle:
         self.instance = None       # (scene, transform)
         self.committed_obj = None
         self.tessellation_rate = 8
+        self.mask = -1              # rtcSetGeometryMask, default all bits
 
 
 def rtcNewDevice(cfg: str | None = None) -> Device:
@@ -115,6 +116,12 @@ def rtcSetGeometryDisplacementFunction(geom: _GeometryHandle, fn) -> None:
 
 def rtcSetGeometryUserData(geom, data):
     geom.user_data = data
+
+
+def rtcSetGeometryMask(geom: _GeometryHandle, mask: int) -> None:
+    """rtcSetGeometryMask (rtcore_geometry.h): hits stand only when
+    (geometry.mask & ray.mask) != 0 for rays traced with a mask."""
+    geom.mask = int(np.int32(np.uint32(mask)))
 
 
 def rtcSetGeometryUserPrimitiveCount(geom: _GeometryHandle, n: int) -> None:
@@ -189,6 +196,7 @@ def rtcCommitGeometry(geom: _GeometryHandle) -> None:
         geom.committed_obj = Instance(scene, xfm)
     else:
         raise ValueError(f"unknown geometry type {t}")
+    geom.committed_obj.mask = geom.mask
 
 
 def rtcAttachGeometry(scene: Scene, geom: _GeometryHandle) -> int:

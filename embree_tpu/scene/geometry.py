@@ -20,6 +20,10 @@ class Geometry:
         self.enabled = True
         self.user_data = None
         self.geom_id: Optional[int] = None
+        # rtcSetGeometryMask analog (geometry.h mask; default all bits).
+        # Hits stand only when (geom.mask & ray.mask) != 0 for rays traced
+        # with a mask (EMBREE_RAY_MASK semantics).
+        self.mask = -1
         self.vertex_attributes = []  # list of (V, K) arrays (rtcSetGeometryVertexAttributeCount)
 
     def enable(self):

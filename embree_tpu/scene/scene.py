@@ -68,11 +68,12 @@ class CommittedScene:
     """
 
     _CHILDREN = ("bvh", "tris", "pallas", "compressed", "compressed_pallas",
-                 "instances", "user_bvhs", "mb", "world_lower", "world_upper")
+                 "instances", "user_bvhs", "mb", "world_lower", "world_upper",
+                 "prim_mask")
 
     def __init__(self, bvh, tris, pallas, compressed, compressed_pallas,
                  world_lower, world_upper, instances=(), user_bvhs=(),
-                 users=(), mb=None):
+                 users=(), mb=None, prim_mask=None, backface_cull=False):
         self.bvh = bvh
         self.tris = tris
         self.pallas = pallas
@@ -84,20 +85,25 @@ class CommittedScene:
         self.mb = mb                        # Optional[MBAccel]
         self.world_lower = world_lower
         self.world_upper = world_upper
+        self.prim_mask = prim_mask      # (T,) i32 per-prim geom mask or None
+        self.backface_cull = backface_cull  # STATIC (EMBREE_BACKFACE_CULLING)
 
     def _replace(self, **kw):
         d = {k: getattr(self, k) for k in self._CHILDREN}
         d["users"] = self.users
+        d["backface_cull"] = self.backface_cull
         d.update(kw)
         return CommittedScene(**d)
 
     def tree_flatten(self):
-        return ([getattr(self, k) for k in self._CHILDREN], self.users)
+        return ([getattr(self, k) for k in self._CHILDREN],
+                (self.users, self.backface_cull))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         kw = dict(zip(cls._CHILDREN, children))
-        return cls(users=aux, **kw)
+        users, cull = aux if isinstance(aux, tuple) and len(aux) == 2 else (aux, False)
+        return cls(users=users, backface_cull=cull, **kw)
 
 
 def _as_np_f32(a):
@@ -261,12 +267,19 @@ class Scene:
             v2 = np.concatenate(tri_v2)
             geom = np.concatenate(tri_geom); prim = np.concatenate(tri_prim)
             flip = np.concatenate(tri_flip)
+            # per-prim geometry mask via gid lookup (rtcSetGeometryMask)
+            lut = np.full(max(self.geometries.keys(), default=0) + 1, -1,
+                          np.int32)
+            for _gid, _g in self.geometries.items():
+                lut[_gid] = np.int32(getattr(_g, "mask", -1))
+            prim_mask = jnp.asarray(lut[geom])
             tris = TrianglePrims(
                 jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
                 jnp.asarray(geom), jnp.asarray(prim), jnp.asarray(flip))
             lower, upper = prim_bounds_np(v0, v1, v2)
         else:
             tris = empty_triangle_prims()
+            prim_mask = jnp.zeros((0,), jnp.int32)
             lower = np.zeros((0, 3), np.float32)
             upper = np.zeros((0, 3), np.float32)
 
@@ -342,7 +355,10 @@ class Scene:
                                         world_lower=wl, world_upper=wu,
                                         instances=tuple(instances),
                                         user_bvhs=tuple(user_bvhs),
-                                        users=tuple(users), mb=mb)
+                                        users=tuple(users), mb=mb,
+                                        prim_mask=prim_mask,
+                                        backface_cull=bool(
+                                            self.device.state.backface_culling))
         self.build_time_s = time.perf_counter() - t0
         self._progress(1.0)
         if self.device.state.verbose >= 2:
@@ -402,20 +418,24 @@ class Scene:
         reference performs (AccelN::select(filter), acceln.cpp:207)."""
         self.intersection_filter = fn
 
-    def intersect(self, rays: Rays, time=None, coherent: bool = False) -> Hits:
+    def intersect(self, rays: Rays, time=None, coherent: bool = False,
+                  mask=None) -> Hits:
         """rtcIntersect1/K/stream analog (batched over all rays). `time`
         in [0,1] samples motion-blur geometry (ray.time analog);
         `coherent` is the RTC_INTERSECT_CONTEXT_FLAG_COHERENT hint (skips
-        the stream sort for primary-ray-like batches)."""
+        the stream sort for primary-ray-like batches); `mask` is the
+        per-ray i32 mask (ray.mask, EMBREE_RAY_MASK) tested against each
+        geometry's rtcSetGeometryMask value."""
         cs = self._require_commit()
         return scene_intersect(cs, rays, isa=self.device.state.isa,
                                time=time,
                                filter_fn=self.intersection_filter,
-                               coherent=coherent)
+                               coherent=coherent, ray_mask=mask)
 
-    def occluded(self, rays: Rays) -> jnp.ndarray:
+    def occluded(self, rays: Rays, mask=None) -> jnp.ndarray:
         cs = self._require_commit()
-        return scene_occluded(cs, rays, isa=self.device.state.isa)
+        return scene_occluded(cs, rays, isa=self.device.state.isa,
+                              ray_mask=mask)
 
     def interpolate(self, geom_id: int, prim_id, u, v, slot=None):
         """rtcInterpolate analog: position + smooth normal at
@@ -521,7 +541,8 @@ def _use_pallas(cs: CommittedScene, isa: str) -> bool:
 
 def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
                     _sorted: bool = False, time=None,
-                    filter_fn=None, coherent: bool = False) -> Hits:
+                    filter_fn=None, coherent: bool = False,
+                    ray_mask=None) -> Hits:
     """Functional entry: runs the triangle accel then (if present) the
     compressed-subdiv accel, min-combining hits — the AccelN loop
     (acceln.cpp:51). Large batches on the pallas path are stream-sorted
@@ -544,6 +565,7 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
         # each on v5e; the keyed sort is ~7 ms total), then finalize
         # against the ORIGINAL ray order (u/v/Ng recomputed from prim)
         if (_use_pallas(cs, isa) and filter_fn is None
+                and ray_mask is None
                 and cs.compressed is None and cs.mb is None
                 and not cs.users and not cs.instances):
             from ..traverse.packet import _finalize_hits
@@ -551,7 +573,8 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
             srays, perm = sort_rays_stream(flat, cs.world_lower,
                                            cs.world_upper)
             t_s, prim_s = intersect_pallas_raw(
-                cs.pallas, srays, interpret=_pallas_interpret())
+                cs.pallas, srays, interpret=_pallas_interpret(),
+                cull=cs.backface_cull)
             t_u, prim_u = unsort_by_perm(perm, t_s, prim_s)
             h = _finalize_hits(cs.tris, flat, t_u, prim_u)
             return jax.tree.map(
@@ -561,21 +584,30 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
         stime = time
         if time is not None and getattr(time, "ndim", 0) > 0:
             stime = jnp.asarray(time).reshape(-1)[perm]  # co-sort ray times
+        smask = (None if ray_mask is None
+                 else jnp.broadcast_to(jnp.asarray(ray_mask, jnp.int32),
+                                       (R,))[perm])
         hits = scene_intersect(cs, srays, isa=isa, _sorted=True, time=stime,
-                               filter_fn=filter_fn)
+                               filter_fn=filter_fn, ray_mask=smask)
         return jax.tree.map(
             lambda x: x[inv].reshape(shape + x.shape[1:]), hits)
     if cs.tris.num_prims == 0:
         from ..core.rayhit import miss_hits
         hits = miss_hits(shape, rays.tfar)
-    elif _use_pallas(cs, isa) and filter_fn is None:
+    elif _use_pallas(cs, isa) and filter_fn is None and ray_mask is None:
         from ..traverse.pallas_packet import intersect_pallas
         hits = intersect_pallas(cs.pallas, cs.tris, rays,
-                                interpret=_pallas_interpret())
+                                interpret=_pallas_interpret(),
+                                cull=cs.backface_cull)
     else:
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-        h = intersect_chunked(cs.bvh, cs.tris, flat, filter_fn=filter_fn)
+        rm = (None if ray_mask is None
+              else jnp.broadcast_to(jnp.asarray(ray_mask, jnp.int32),
+                                    shape).reshape(-1))
+        h = intersect_chunked(cs.bvh, cs.tris, flat, filter_fn=filter_fn,
+                              prim_mask=cs.prim_mask, ray_mask=rm,
+                              backface_cull=cs.backface_cull)
         hits = jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), h)
 
     if cs.compressed is not None:
@@ -657,7 +689,7 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
 
 def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
                    _sorted: bool = False,
-                   coherent: bool = False) -> jnp.ndarray:
+                   coherent: bool = False, ray_mask=None) -> jnp.ndarray:
     shape = rays.batch_shape
     R = int(np.prod(shape)) if shape else 1
     # RTC_INTERSECT_CONTEXT_FLAG_COHERENT analog: callers tracing already-
@@ -669,17 +701,27 @@ def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
         srays, perm = sort_rays_stream(flat, cs.world_lower, cs.world_upper)
-        occ = scene_occluded(cs, srays, isa=isa, _sorted=True)
+        smask = (None if ray_mask is None
+                 else jnp.broadcast_to(jnp.asarray(ray_mask, jnp.int32),
+                                       (R,))[perm])
+        occ = scene_occluded(cs, srays, isa=isa, _sorted=True,
+                             ray_mask=smask)
         return unsort_one(perm, occ).reshape(shape)
     if cs.tris.num_prims == 0:
         occ = jnp.zeros(shape, bool)
-    elif _use_pallas(cs, isa):
+    elif _use_pallas(cs, isa) and ray_mask is None:
         from ..traverse.pallas_packet import occluded_pallas
-        occ = occluded_pallas(cs.pallas, rays, interpret=_pallas_interpret())
+        occ = occluded_pallas(cs.pallas, rays, interpret=_pallas_interpret(),
+                              cull=cs.backface_cull)
     else:
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-        occ = occluded_chunked(cs.bvh, cs.tris, flat).reshape(shape)
+        rm = (None if ray_mask is None
+              else jnp.broadcast_to(jnp.asarray(ray_mask, jnp.int32),
+                                    shape).reshape(-1))
+        occ = occluded_chunked(cs.bvh, cs.tris, flat, prim_mask=cs.prim_mask,
+                               ray_mask=rm,
+                               backface_cull=cs.backface_cull).reshape(shape)
     if cs.compressed is not None:
         if _compressed_use_pallas(cs, isa):
             from ..traverse.pallas_cbvh import occluded_compressed_pallas

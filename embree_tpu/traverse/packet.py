@@ -63,19 +63,25 @@ def _node_box_test(lower, upper, rdir, org_rdir, tnear, tcur):
 
 
 def _leaf_intersect(tris: TrianglePrims, prim_order, start, count, max_leaf,
-                    org, direction, tnear, t, prim, filter_fn=None):
+                    org, direction, tnear, t, prim, filter_fn=None,
+                    prim_mask=None, ray_mask=None, backface_cull=False):
     """Test up to max_leaf contiguous leaf prims against the packet.
     `filter_fn` is the intersection-filter callback (filter.h:51
     runIntersectionFilter1): called per candidate hit, may reject lanes
-    so traversal keeps searching."""
+    so traversal keeps searching. `prim_mask`/`ray_mask` implement the
+    geometry/ray mask test (geometry.h mask & ray.mask, EMBREE_RAY_MASK):
+    a hit stands only when (geom.mask & ray.mask) != 0."""
     def body(i, carry):
         t, prim = carry
         p = prim_order[start + i]
         valid_i = i < count
         v0, v1, v2 = tris.v0[p], tris.v1[p], tris.v2[p]
         valid, t_hit, u, v, ng = intersect_triangle(
-            org, direction, tnear, t, v0, v1, v2)
+            org, direction, tnear, t, v0, v1, v2,
+            backface_cull=backface_cull)
         valid = valid & valid_i
+        if prim_mask is not None and ray_mask is not None:
+            valid = valid & ((prim_mask[p] & ray_mask) != 0)
         if filter_fn is not None:
             accept = filter_fn(org, direction, t_hit, u, v, ng,
                                tris.geom_id[p], tris.prim_id[p])
@@ -89,22 +95,27 @@ def _leaf_intersect(tris: TrianglePrims, prim_order, start, count, max_leaf,
 
 
 def _leaf_occluded(tris: TrianglePrims, prim_order, start, count, max_leaf,
-                   org, direction, tnear, tfar, occluded):
+                   org, direction, tnear, tfar, occluded,
+                   prim_mask=None, ray_mask=None, backface_cull=False):
     def body(i, occ):
         p = prim_order[start + i]
         valid_i = i < count
         valid, _t, _u, _v, _ng = intersect_triangle(
-            org, direction, tnear, tfar, tris.v0[p], tris.v1[p], tris.v2[p])
+            org, direction, tnear, tfar, tris.v0[p], tris.v1[p], tris.v2[p],
+            backface_cull=backface_cull)
+        if prim_mask is not None and ray_mask is not None:
+            valid = valid & ((prim_mask[p] & ray_mask) != 0)
         return occ | (valid & valid_i)
 
     return jax.lax.fori_loop(0, jnp.minimum(count, max_leaf), body, occluded)
 
 
 @functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf",
-                                             "filter_fn"))
+                                             "filter_fn", "backface_cull"))
 def intersect_packet(bvh: BVH, tris: TrianglePrims, rays: Rays,
                      stack_depth: int = 96, max_leaf: int = 8,
-                     filter_fn=None):
+                     filter_fn=None, prim_mask=None, ray_mask=None,
+                     backface_cull=False):
     """Closest-hit traversal for a flat batch of rays. Returns Hits."""
     org, direction = rays.org, rays.dir
     tnear, tfar = rays.tnear, rays.tfar
@@ -145,7 +156,8 @@ def intersect_packet(bvh: BVH, tris: TrianglePrims, rays: Rays,
                 t, prim = args
                 return _leaf_intersect(tris, bvh.prim_order, child[c], count[c],
                                        max_leaf, org, direction, tnear, t, prim,
-                                       filter_fn)
+                                       filter_fn, prim_mask, ray_mask,
+                                       backface_cull)
             return jax.lax.cond(any_hit[c] & (count[c] > 0), run,
                                 lambda a: a, (t, prim))
 
@@ -205,10 +217,12 @@ def _finalize_hits(tris: TrianglePrims, rays: Rays, t, prim) -> Hits:
 
 
 @functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf",
-                                             "packet_size", "filter_fn"))
+                                             "packet_size", "filter_fn",
+                                             "backface_cull"))
 def intersect_chunked(bvh: BVH, tris: TrianglePrims, rays: Rays,
                       packet_size: int = 1024, stack_depth: int = 96,
-                      max_leaf: int = 8, filter_fn=None):
+                      max_leaf: int = 8, filter_fn=None, prim_mask=None,
+                      ray_mask=None, backface_cull=False):
     """Chunk a flat ray batch into fixed-size packets and traverse each
     with its own shared stack (lax.map = sequential, like the reference's
     per-tile parallel_for tutorial loop). Coherent chunks (image tiles,
@@ -217,7 +231,8 @@ def intersect_chunked(bvh: BVH, tris: TrianglePrims, rays: Rays,
     R = rays.tnear.shape[0]
     if R <= packet_size:
         return intersect_packet(bvh, tris, rays, stack_depth, max_leaf,
-                                filter_fn)
+                                filter_fn, prim_mask, ray_mask,
+                                backface_cull)
     P = packet_size
     Rp = -(-R // P) * P
     pad = Rp - R
@@ -230,25 +245,30 @@ def intersect_chunked(bvh: BVH, tris: TrianglePrims, rays: Rays,
     d = pad1(rays.dir, 1.0).reshape(-1, P, 3)
     tn = pad1(rays.tnear, 0.0).reshape(-1, P)
     tf = pad1(rays.tfar, -jnp.inf).reshape(-1, P)
+    rm = (None if ray_mask is None
+          else pad1(ray_mask, 0).reshape(-1, P))
 
     def run(chunk):
-        o, dd, n, f = chunk
+        o, dd, n, f, m = chunk
         return intersect_packet(bvh, tris, Rays(o, dd, n, f),
-                                stack_depth, max_leaf, filter_fn)
+                                stack_depth, max_leaf, filter_fn,
+                                prim_mask, m, backface_cull)
 
-    hits = jax.lax.map(run, (org, d, tn, tf))
+    hits = jax.lax.map(run, (org, d, tn, tf, rm))
     flat = jax.tree.map(lambda x: x.reshape((Rp,) + x.shape[2:]), hits)
     return jax.tree.map(lambda x: x[:R], flat)
 
 
 @functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf",
-                                             "packet_size"))
+                                             "packet_size", "backface_cull"))
 def occluded_chunked(bvh: BVH, tris: TrianglePrims, rays: Rays,
                      packet_size: int = 1024, stack_depth: int = 96,
-                     max_leaf: int = 8):
+                     max_leaf: int = 8, prim_mask=None, ray_mask=None,
+                     backface_cull=False):
     R = rays.tnear.shape[0]
     if R <= packet_size:
-        return occluded_packet(bvh, tris, rays, stack_depth, max_leaf)
+        return occluded_packet(bvh, tris, rays, stack_depth, max_leaf,
+                               prim_mask, ray_mask, backface_cull)
     P = packet_size
     Rp = -(-R // P) * P
     pad = Rp - R
@@ -262,18 +282,24 @@ def occluded_chunked(bvh: BVH, tris: TrianglePrims, rays: Rays,
     tn = pad1(rays.tnear, 0.0).reshape(-1, P)
     tf = pad1(rays.tfar, -jnp.inf).reshape(-1, P)
 
-    def run(chunk):
-        o, dd, n, f = chunk
-        return occluded_packet(bvh, tris, Rays(o, dd, n, f),
-                               stack_depth, max_leaf)
+    rm = (None if ray_mask is None
+          else pad1(ray_mask, 0).reshape(-1, P))
 
-    occ = jax.lax.map(run, (org, d, tn, tf))
+    def run(chunk):
+        o, dd, n, f, m = chunk
+        return occluded_packet(bvh, tris, Rays(o, dd, n, f),
+                               stack_depth, max_leaf, prim_mask, m,
+                               backface_cull)
+
+    occ = jax.lax.map(run, (org, d, tn, tf, rm))
     return occ.reshape(Rp)[:R]
 
 
-@functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf"))
+@functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf",
+                                             "backface_cull"))
 def occluded_packet(bvh: BVH, tris: TrianglePrims, rays: Rays,
-                    stack_depth: int = 96, max_leaf: int = 8):
+                    stack_depth: int = 96, max_leaf: int = 8,
+                    prim_mask=None, ray_mask=None, backface_cull=False):
     """Any-hit traversal; returns bool (R,) occlusion mask."""
     org, direction = rays.org, rays.dir
     tnear, tfar = rays.tnear, rays.tfar
@@ -306,7 +332,8 @@ def occluded_packet(bvh: BVH, tris: TrianglePrims, rays: Rays,
             def run(occ):
                 return _leaf_occluded(tris, bvh.prim_order, child[c], count[c],
                                       8, org, direction, tnear,
-                                      jnp.where(occ, tnear, tfar), occ)
+                                      jnp.where(occ, tnear, tfar), occ,
+                                      prim_mask, ray_mask, backface_cull)
             return jax.lax.cond(any_hit[c] & (count[c] > 0), run,
                                 lambda o: o, occ)
 

@@ -43,8 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..build.bvh import BVH
 from ..core.rayhit import Hits, Rays
+from ..core.stats import instance as _stat_instance, stats_enabled
 from ..scene.prims import TrianglePrims
 from .packet import _finalize_hits
+
+
+def _record_stats(shadow: bool, rays: int, stats) -> None:
+    """STAT3 accumulation (core/stats.py) — eager calls only; traced
+    values can't be pulled to host."""
+    import jax.core
+    if stats_enabled() and not isinstance(stats, jax.core.Tracer):
+        _stat_instance().add(shadow, rays, stats)
 
 DEFAULT_SUB = 64                # sublanes per packet tile (rays = SUB*128)
                                 # (sub-sweep on v5e: 64 > 48 > 32 > 128 on
@@ -210,7 +219,7 @@ _SORT_NETS = {
 
 
 def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
-                         K: int = 4, width: int = 4):
+                         K: int = 4, width: int = 4, cull: bool = False):
     """v3 kernel: unified node/leaf stack + K-wide pops.
 
     v1/v2 profiling on v5e shows per-pop cost is the serial chain
@@ -291,7 +300,9 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                 u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
                 v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
                 t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
-                ok = (den != 0.0) & (u_s >= 0.0) & (v_s >= 0.0) \
+                # EMBREE_BACKFACE_CULLING variant: front-facing only
+                front = (den < 0.0) if cull else (den != 0.0)
+                ok = front & (u_s >= 0.0) & (v_s >= 0.0) \
                     & (u_s + v_s <= absden) \
                     & (absden * tnear < t_s) & (t_s <= absden * t)
                 if occluded:
@@ -400,13 +411,13 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
 
 def _pallas_call_v3(occluded: bool, num_blocks: int, interpret: bool,
                     sub: int = DEFAULT_SUB, tables_in_hbm: bool = False,
-                    K: int = 4, width: int = 4):
+                    K: int = 4, width: int = 4, cull: bool = False):
     table_spec = pl.BlockSpec(memory_space=pltpu.ANY if tables_in_hbm
                               else pltpu.VMEM)
     tile = (sub, 128)
     ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _traversal_kernel_v3(occluded, sub, K, width),
+        _traversal_kernel_v3(occluded, sub, K, width, cull),
         grid=(num_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   table_spec, table_spec] + [ray_spec] * 8,
@@ -436,24 +447,24 @@ POP_WIDTH = 16  # v3 kernel multi-pop width (sweep-tuned on v5e)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_blocks", "interpret", "sub"))
+                   static_argnames=("num_blocks", "interpret", "sub", "cull"))
 def _run_intersect(ps: PallasScene, tiles, num_blocks: int, interpret=False,
-                   sub: int = DEFAULT_SUB):
+                   sub: int = DEFAULT_SUB, cull: bool = False):
     params = jnp.asarray([262144], jnp.int32)
     hbm = ps.vmem_bytes > VMEM_TABLE_BUDGET
     return _pallas_call_v3(False, num_blocks, interpret, sub, hbm,
-                           POP_WIDTH, ps.width)(
+                           POP_WIDTH, ps.width, cull)(
         params, ps.nodes, ps.tdata, *tiles)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_blocks", "interpret", "sub"))
+                   static_argnames=("num_blocks", "interpret", "sub", "cull"))
 def _run_occluded(ps: PallasScene, tiles, num_blocks: int, interpret=False,
-                  sub: int = DEFAULT_SUB):
+                  sub: int = DEFAULT_SUB, cull: bool = False):
     params = jnp.asarray([262144], jnp.int32)
     hbm = ps.vmem_bytes > VMEM_TABLE_BUDGET
     return _pallas_call_v3(True, num_blocks, interpret, sub, hbm,
-                           POP_WIDTH, ps.width)(
+                           POP_WIDTH, ps.width, cull)(
         params, ps.nodes, ps.tdata, *tiles)
 
 
@@ -471,24 +482,26 @@ def _finalize_pallas(ps, tris, rays, t_o, prim_o, R: int):
 
 
 def intersect_pallas(ps: PallasScene, tris: TrianglePrims, rays: Rays,
-                     interpret: bool = False) -> Hits:
+                     interpret: bool = False, cull: bool = False) -> Hits:
     """Closest hit via the pallas kernel; u/v/Ng finalized outside (the
     differentiable hit re-evaluation)."""
     tiles, R, nb = _ray_tiles(rays, DEFAULT_SUB)
     t_o, prim_o, _stats = _run_intersect(ps, tiles, nb, interpret,
-                                         DEFAULT_SUB)
+                                         DEFAULT_SUB, cull)
+    _record_stats(False, R, _stats)
     return _finalize_pallas(ps, tris, rays, t_o, prim_o, R)
 
 
 def intersect_pallas_raw(ps: PallasScene, rays: Rays,
-                         interpret: bool = False):
+                         interpret: bool = False, cull: bool = False):
     """Kernel-only entry: returns flat (t, prim) in ORIGINAL prim ids,
     without hit finalization. Lets the sorted stream path unsort just two
     arrays (TPU gathers are expensive) and finalize against the unsorted
     rays."""
     tiles, R, nb = _ray_tiles(rays, DEFAULT_SUB)
     t_o, prim_o, _stats = _run_intersect(ps, tiles, nb, interpret,
-                                         DEFAULT_SUB)
+                                         DEFAULT_SUB, cull)
+    _record_stats(False, R, _stats)
     t = t_o.reshape(-1)[:R]
     prim_bvh = prim_o.reshape(-1)[:R]
     prim = jnp.where(prim_bvh >= 0,
@@ -497,9 +510,12 @@ def intersect_pallas_raw(ps: PallasScene, rays: Rays,
 
 
 def occluded_pallas(ps: PallasScene, rays: Rays,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    cull: bool = False) -> jnp.ndarray:
     tiles, R, nb = _ray_tiles(rays, DEFAULT_SUB)
-    t_o, _prim, _stats = _run_occluded(ps, tiles, nb, interpret, DEFAULT_SUB)
+    t_o, _prim, _stats = _run_occluded(ps, tiles, nb, interpret, DEFAULT_SUB,
+                                       cull)
+    _record_stats(True, R, _stats)
     occ = (t_o.reshape(-1)[:R] == -np.inf)
     return occ.reshape(rays.batch_shape)
 

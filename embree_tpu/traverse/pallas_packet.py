@@ -234,7 +234,7 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
     def kernel(params, nodes, tdata,
                ox, oy, oz, dx, dy, dz, tn, tf,
                t_out, prim_out, stats_out,
-               stack, nrow, lbuf, nsem, lsem):
+               stack, dstack, nrow, lbuf, nsem, lsem):
         max_iters = params[0]
         rdx = _rcp_safe(dx[:]); rdy = _rcp_safe(dy[:]); rdz = _rcp_safe(dz[:])
         orx = ox[:] * rdx; ory = oy[:] * rdy; orz = oz[:] * rdz
@@ -356,17 +356,26 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                 @pl.when(pushes[k])
                 def _(sp_k=sp_k, k=k):
                     stack[sp_k] = refs[k]
+                    dstack[sp_k] = keys[k]
 
                 sp = sp + pushes[k].astype(jnp.int32)
             return t, prim, sp
 
         def step(carry):
             sp, t, prim, iters, ltests = carry
+            # pop-cull (bvh_intersector1.cpp:83-88): a stacked subtree
+            # whose entry distance exceeds every ray's current best t
+            # cannot improve any hit — skip it (fires on coherent all-hit
+            # packets; t stays +inf for missing rays, so incoherent
+            # packets pay only the max-reduction)
+            tmax_cur = jnp.max(t)
             npop = jnp.minimum(sp, K)
             refs = []
             for i in range(K):
-                r = jnp.where(i < npop, stack[jnp.maximum(sp - 1 - i, 0)],
-                              SENT)
+                idx = jnp.maximum(sp - 1 - i, 0)
+                d = dstack[idx]
+                keep = (i < npop) & (d <= tmax_cur)
+                r = jnp.where(keep, stack[idx], SENT)
                 refs.append(r)
                 start_ref(i, r)
             sp = sp - npop
@@ -395,6 +404,7 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                 return (carry[0] > 0) & (carry[3] < max_iters)
 
         stack[0] = 0  # root
+        dstack[0] = -INF
         prim0 = jnp.full((sub, 128), -1, jnp.int32)
         sp, t, prim, iters, ltests = jax.lax.while_loop(
             cond, step,
@@ -430,6 +440,7 @@ def _pallas_call_v3(occluded: bool, num_blocks: int, interpret: bool,
         ),
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
             pltpu.SMEM((K, 128), jnp.float32),
             pltpu.SMEM((K, 2, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((K,)),

@@ -19,8 +19,43 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from ..core.math import deg2rad, lookat, normalize
 from ..core.rayhit import Rays, make_rays
+
+
+@functools.lru_cache(maxsize=16)
+def pixel_morton_order(width: int, height: int):
+    """(perm, inv) int32 arrays mapping flat image-row order to a pixel
+    morton (Z-curve) order. Tracing primary rays in morton order makes
+    each traversal packet an ~square screen tile instead of a thin row
+    strip — the TPU expression of the reference's 8x8 render tiles
+    (tutorial_device.cpp TILE_SIZE) with far tighter packet frusta.
+    Static per (w, h); pass to jitted renderers as arrays (axon bakes
+    closed-over constants into the program — catastrophic compiles)."""
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.uint64)
+
+    def spread(a):  # interleave with zeros (16 -> 32 bit morton support)
+        a = (a | (a << 8)) & np.uint64(0x00FF00FF)
+        a = (a | (a << 4)) & np.uint64(0x0F0F0F0F)
+        a = (a | (a << 2)) & np.uint64(0x33333333)
+        a = (a | (a << 1)) & np.uint64(0x55555555)
+        return a
+
+    code = (spread(xs) | (spread(ys) << np.uint64(1))).reshape(-1)
+    perm = np.argsort(code, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
+
+
+@functools.lru_cache(maxsize=16)
+def pixel_morton_order_device(width: int, height: int):
+    """Device-resident (perm, inv) — cached so per-frame render calls
+    don't re-upload ~8 MB of permutations over the (slow) device link."""
+    perm, inv = pixel_morton_order(width, height)
+    return jnp.asarray(perm), jnp.asarray(inv)
 
 
 @dataclasses.dataclass

@@ -69,11 +69,22 @@ def build_scene(device=None):
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def render(cscene: CommittedScene, face_colors, prim_offset,
-           cam_vx, cam_vy, cam_vz, cam_p, *, width: int, height: int):
-    """Returns (H, W, 3) f32 framebuffer."""
-    xs = jnp.arange(width, dtype=jnp.float32)
-    ys = jnp.arange(height, dtype=jnp.float32)
-    x, y = jnp.meshgrid(xs, ys)
+           cam_vx, cam_vy, cam_vz, cam_p, perm=None, inv=None,
+           *, width: int, height: int):
+    """Returns (H, W, 3) f32 framebuffer.
+
+    When (perm, inv) from `pixel_morton_order` are given, rays trace in
+    pixel-morton order so each traversal packet covers an ~square screen
+    tile (the reference's TILE_SIZE render tiles, tutorial_device.cpp)
+    and the framebuffer is un-permuted at the end with one gather."""
+    if perm is not None:
+        x = (perm % width).astype(jnp.float32)
+        y = (perm // width).astype(jnp.float32)
+    else:
+        xs = jnp.arange(width, dtype=jnp.float32)
+        ys = jnp.arange(height, dtype=jnp.float32)
+        xg, yg = jnp.meshgrid(xs, ys)
+        x, y = xg.reshape(-1), yg.reshape(-1)
     d = normalize(x[..., None] * cam_vx + y[..., None] * cam_vy + cam_vz)
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
@@ -96,14 +107,18 @@ def render(cscene: CommittedScene, face_colors, prim_offset,
     ndotl = jnp.clip(-dot(jnp.broadcast_to(light_dir, d.shape),
                           normalize(hits.ng)), 0.0, 1.0)
     color = color + jnp.where((valid & ~occ)[..., None], diffuse * ndotl[..., None], 0.0)
-    return color
+    if inv is not None:
+        color = color[inv]
+    return color.reshape(height, width, 3)
 
 
 def render_frame(state, camera: Camera, size):
+    from ..camera import pixel_morton_order_device
     w, h = size
     vx, vy, vz, p = camera.ispc_camera(w, h)
+    perm, inv = pixel_morton_order_device(w, h)
     img = render(state["cscene"], state["face_colors"], state["prim_offset"],
-                 vx, vy, vz, p, width=w, height=h)
+                 vx, vy, vz, p, perm, inv, width=w, height=h)
     # RayStats: 1 primary per pixel + 1 shadow per hit pixel. Counted
     # analytically (tutorial_device.h:151-173 increments per traced ray).
     nrays = 2 * w * h  # upper bound; refined by caller if needed

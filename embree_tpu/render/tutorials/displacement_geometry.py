@@ -69,10 +69,15 @@ def build_scene(subdiv_mode=None, subdiv_level=SUBDIVISION_LEVEL,
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def render(cscene: CommittedScene, cam_vx, cam_vy, cam_vz, cam_p,
-           *, width: int, height: int):
-    xs = jnp.arange(width, dtype=jnp.float32)
-    ys = jnp.arange(height, dtype=jnp.float32)
-    x, y = jnp.meshgrid(xs, ys)
+           perm=None, inv=None, *, width: int, height: int):
+    if perm is not None:  # morton pixel tiles (camera.pixel_morton_order)
+        x = (perm % width).astype(jnp.float32)
+        y = (perm // width).astype(jnp.float32)
+    else:
+        xs = jnp.arange(width, dtype=jnp.float32)
+        ys = jnp.arange(height, dtype=jnp.float32)
+        xg, yg = jnp.meshgrid(xs, ys)
+        x, y = xg.reshape(-1), yg.reshape(-1)
     d = normalize(x[..., None] * cam_vx + y[..., None] * cam_vy + cam_vz)
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
@@ -103,13 +108,18 @@ def render(cscene: CommittedScene, cam_vx, cam_vy, cam_vz, cam_p,
     ndotl = jnp.clip(-dot(jnp.broadcast_to(light_dir, d.shape), ng), 0.0, 1.0)
     color = color + jnp.where((valid & ~occ)[..., None],
                               diffuse * ndotl[..., None], 0.0)
-    return color
+    if inv is not None:
+        color = color[inv]
+    return color.reshape(height, width, 3)
 
 
 def render_frame(state, camera: Camera, size):
+    from ..camera import pixel_morton_order_device
     w, h = size
     vx, vy, vz, p = camera.ispc_camera(w, h)
-    img = render(state["cscene"], vx, vy, vz, p, width=w, height=h)
+    perm, inv = pixel_morton_order_device(w, h)
+    img = render(state["cscene"], vx, vy, vz, p, perm, inv,
+                 width=w, height=h)
     return img, 2 * w * h
 
 

@@ -107,12 +107,18 @@ def build_cornell_scene(device_cfg="ignore_config_files=1"):
                    static_argnames=("width", "height", "spp", "n_lights"))
 def render_pt(cscene, materials: MaterialTable, lights: LightTable,
               geom_mat, cam_vx, cam_vy, cam_vz, cam_p, seed,
+              perm=None, inv=None,
               *, width: int, height: int, spp: int = 4, n_lights: int = 1):
     key0 = jax.random.PRNGKey(seed)
 
-    xs = jnp.arange(width, dtype=jnp.float32)
-    ys = jnp.arange(height, dtype=jnp.float32)
-    px, py = jnp.meshgrid(xs, ys)
+    if perm is not None:  # morton pixel tiles (camera.pixel_morton_order)
+        px = (perm % width).astype(jnp.float32)
+        py = (perm // width).astype(jnp.float32)
+    else:
+        xs = jnp.arange(width, dtype=jnp.float32)
+        ys = jnp.arange(height, dtype=jnp.float32)
+        pxg, pyg = jnp.meshgrid(xs, ys)
+        px, py = pxg.reshape(-1), pyg.reshape(-1)
     shape = px.shape
 
     def one_sample(key):
@@ -179,14 +185,19 @@ def render_pt(cscene, materials: MaterialTable, lights: LightTable,
     L = jnp.zeros(shape + (3,))
     for s in range(spp):
         L = L + one_sample(keys[s])
-    return L / spp
+    L = L / spp
+    if inv is not None:
+        L = L[inv]
+    return L.reshape(height, width, 3)
 
 
 def render_frame(state, camera: Camera, size, spp=4, seed=0):
+    from ..camera import pixel_morton_order_device
     w, h = size
     vx, vy, vz, p = camera.ispc_camera(w, h)
+    perm, inv = pixel_morton_order_device(w, h)
     img = render_pt(state["cscene"], state["materials"], state["lights"],
-                    state["geom_mat"], vx, vy, vz, p, seed,
+                    state["geom_mat"], vx, vy, vz, p, seed, perm, inv,
                     width=w, height=h, spp=spp,
                     n_lights=len(state["lights"].type))
     # rays per frame: spp * (primary + NEE shadow) * bounces (upper bound)

@@ -89,11 +89,16 @@ def build_scene(obj_path: str, subdiv_mode=None, subdiv_level=5,
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def render(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
-           cam_vx, cam_vy, cam_vz, cam_p,
+           cam_vx, cam_vy, cam_vz, cam_p, perm=None, inv=None,
            *, width: int, height: int):
-    xs = jnp.arange(width, dtype=jnp.float32)
-    ys = jnp.arange(height, dtype=jnp.float32)
-    x, y = jnp.meshgrid(xs, ys)
+    if perm is not None:  # morton pixel tiles (camera.pixel_morton_order)
+        x = (perm % width).astype(jnp.float32)
+        y = (perm // width).astype(jnp.float32)
+    else:
+        xs = jnp.arange(width, dtype=jnp.float32)
+        ys = jnp.arange(height, dtype=jnp.float32)
+        xg, yg = jnp.meshgrid(xs, ys)
+        x, y = xg.reshape(-1), yg.reshape(-1)
     d = normalize(x[..., None] * cam_vx + y[..., None] * cam_vy + cam_vz)
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
@@ -117,15 +122,21 @@ def render(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
     # face forward (viewer_device.cpp:241-244)
     ns = jnp.where(dot(d, ns)[..., None] < 0, ns, -ns)
     shade = jnp.clip(dot(-d, ns), 0.0, 1.0)
-    return jnp.where(valid[..., None], kd * shade[..., None], 0.0)
+    out = jnp.where(valid[..., None], kd * shade[..., None], 0.0)
+    if inv is not None:
+        out = out[inv]
+    return out.reshape(height, width, 3)
 
 
 def render_frame(state, camera: Camera, size):
+    from ..camera import pixel_morton_order_device
     w, h = size
     vx, vy, vz, p = camera.ispc_camera(w, h)
+    perm, inv = pixel_morton_order_device(w, h)
     img = render(state["cscene"], state["materials"], state["geom_mat"],
                  state["textures"], state["kd_tex"], state["tri_uv"],
-                 state["prim_base"], vx, vy, vz, p, width=w, height=h)
+                 state["prim_base"], vx, vy, vz, p, perm, inv,
+                 width=w, height=h)
     return img, w * h
 
 

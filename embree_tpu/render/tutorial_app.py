@@ -40,20 +40,29 @@ class TutorialApplication:
         self.camera = Camera()
 
     def make_parser(self) -> argparse.ArgumentParser:
+        # the reference registers single-dash long options (-vp, -size,
+        # -rtcore; tutorial.cpp option registry) — accept both spellings
         p = argparse.ArgumentParser(prog=self.name)
-        p.add_argument("--size", nargs=2, type=int, default=list(self.default_size))
-        p.add_argument("--vp", nargs=3, type=float, help="camera position")
-        p.add_argument("--vi", nargs=3, type=float, help="camera look-at")
-        p.add_argument("--vu", nargs=3, type=float, help="camera up")
-        p.add_argument("--fov", type=float)
-        p.add_argument("--lefthanded", action="store_true")
-        p.add_argument("--righthanded", action="store_true")
+        p.add_argument("-size", "--size", nargs=2, type=int,
+                       default=list(self.default_size))
+        p.add_argument("-vp", "--vp", nargs=3, type=float,
+                       help="camera position")
+        p.add_argument("-vi", "--vi", nargs=3, type=float,
+                       help="camera look-at")
+        p.add_argument("-vd", "--vd", nargs=3, type=float,
+                       help="camera view direction (to = from + dir)")
+        p.add_argument("-vu", "--vu", nargs=3, type=float, help="camera up")
+        p.add_argument("-fov", "--fov", type=float)
+        p.add_argument("-lefthanded", "--lefthanded", action="store_true")
+        p.add_argument("-righthanded", "--righthanded", action="store_true")
         p.add_argument("-o", "--output", type=str, default=None)
         p.add_argument("-c", "--command-file", type=str, default=None,
                        help=".ecs command file (options, one or more per "
                             "line; '#' comments) — tutorial.cpp -c")
-        p.add_argument("--benchmark", nargs=2, type=int, metavar=("SKIP", "ITER"))
-        p.add_argument("--rtcore", type=str, default="", help="device config string")
+        p.add_argument("-benchmark", "--benchmark", nargs=2, type=int,
+                       metavar=("SKIP", "ITER"))
+        p.add_argument("-rtcore", "--rtcore", type=str, default="",
+                       help="device config string")
         # fork flags (tutorial.cpp:537-564)
         p.add_argument("--compress.grid", dest="compress_grid", action="store_true")
         p.add_argument("--compress.leaf", dest="compress_leaf", action="store_true")
@@ -66,17 +75,27 @@ class TutorialApplication:
     @staticmethod
     def _expand_ecs(argv):
         """Inline -c FILE contents (the .ecs command scripts the
-        reference demos ship, e.g. build/bomberman.ecs)."""
+        reference demos ship, e.g. build/bomberman.ecs). Relative input
+        paths inside the file resolve against the file's directory
+        (FileName::path() semantics in the reference parser)."""
+        import os
         out = []
         i = 0
         argv = list(argv)
         while i < len(argv):
             if argv[i] in ("-c", "--command-file") and i + 1 < len(argv):
+                base = os.path.dirname(os.path.abspath(argv[i + 1]))
                 with open(argv[i + 1]) as f:
+                    toks = []
                     for line in f:
                         line = line.split("#", 1)[0].strip()
                         if line:
-                            out.extend(line.split())
+                            toks.extend(line.split())
+                for k, t in enumerate(toks):
+                    if (k and toks[k - 1] in ("-i", "--input")
+                            and not os.path.isabs(t)):
+                        t = os.path.join(base, t)
+                    out.append(t)
                 i += 2
             else:
                 out.append(argv[i])
@@ -97,6 +116,9 @@ class TutorialApplication:
             self.camera.from_ = tuple(args.vp)
         if args.vi:
             self.camera.to = tuple(args.vi)
+        if args.vd:  # view direction form (tutorial.cpp -vd)
+            f = self.camera.from_ if args.vp is None else tuple(args.vp)
+            self.camera.to = tuple(f[k] + args.vd[k] for k in range(3))
         if args.vu:
             self.camera.up = tuple(args.vu)
         if args.fov:

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..build.cbvh import (TABLE_BORDER, TABLE_MID, TABLE_Z, CompressedTiles,
                           morton2_decode)
 from .cbvh import CompressedAccel, _CHit
-from .pallas_packet import _ray_tiles, _rcp_safe
+from .pallas_packet import VMEM_TABLE_BUDGET, _ray_tiles, _rcp_safe
 
 CSUB = 32
 TILE = (CSUB, 128)
@@ -636,10 +636,14 @@ def _run(pc: PallasCompressed, tiles_in, num_blocks: int, mode: str, cl: int,
         jnp.asarray([262144.0], jnp.float32),
         jnp.asarray(TABLE_BORDER), jnp.asarray(TABLE_MID),
         jnp.asarray(TABLE_Z)])
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # large compressed scenes keep their tile tables in HBM — every
+    # access is already a per-tile row DMA, so only fetch latency (hidden
+    # by the tile-entry pipeline) changes, not the kernel structure
+    hbm = pc.vmem_bytes > VMEM_TABLE_BUDGET
+    table_spec = pl.BlockSpec(memory_space=pltpu.ANY if hbm else pltpu.VMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)
-    grid3_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid3_spec = pl.BlockSpec(memory_space=pltpu.ANY if hbm else pltpu.VMEM)
     return pl.pallas_call(
         _make_kernel(mode, cl),
         grid=(num_blocks,),
@@ -756,7 +760,8 @@ def _run_occl(pc: PallasCompressed, tiles_in, num_blocks: int,
               interpret=False):
     params = jnp.asarray([262144.0], jnp.float32)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pc.topnodes.shape[0] * 512 > VMEM_TABLE_BUDGET
+    table_spec = pl.BlockSpec(memory_space=pltpu.ANY if hbm else pltpu.VMEM)
     ray_spec = pl.BlockSpec(TILE, lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _occl_kernel,

@@ -59,25 +59,56 @@ def run(n_prims: int = 1_000_000, n_rays: int = 65536, reps: int = 8) -> dict:
         out[f"BENCHMARK_BUILD_{name.upper()}_MPRIMS_S"] = \
             idx.shape[0] / (time.perf_counter() - t0) / 1e6
 
-        for mode, raygen in (("coherent", _coherent_rays),
-                             ("incoherent", _incoherent_rays)):
-            org, d = raygen(n_rays, rng)
-            rays = et.make_rays(org, d)
-            for q, fn in (("intersect",
-                           lambda: et.scene_intersect(cs, rays).t),
-                          ("occluded",
-                           lambda: et.scene_occluded(cs, rays))):
-                jax.block_until_ready(fn())
-                t0 = time.perf_counter()
-                outs = [fn() for _ in range(reps)]
-                jax.block_until_ready(outs)
-                dt = time.perf_counter() - t0
-                key = f"BENCHMARK_TRAV_{name.upper()}_{mode.upper()}_{q.upper()}_MRAYPS"
-                out[key] = reps * len(org) / dt / 1e6
+        _trav_rows(out, et, jax, cs, name, n_rays, rng, reps)
+
+    # tri_mb row (verify.cpp benchmark matrix includes *_mb scenes)
+    verts, idx = scenes["tri"]
+    dev = et.Device("ignore_config_files=1")
+    s = et.Scene(dev)
+    s.attach(et.TriangleMeshMB(verts, verts + np.float32([0.1, 0, 0]), idx))
+    t0 = time.perf_counter()
+    cs = s.commit()
+    out["BENCHMARK_BUILD_TRI_MB_MPRIMS_S"] = \
+        idx.shape[0] / (time.perf_counter() - t0) / 1e6
+    _trav_rows(out, et, jax, cs, "tri_mb", n_rays, rng, reps)
+
+    # subdiv row (compressed-leaf mode, the fork's accel)
+    from embree_tpu.verify.fixtures import subdiv_cube
+    sv, sfc, sfi = subdiv_cube()
+    dev = et.Device(
+        "ignore_config_files=1,subdiv_accel=bvh4.compressed.leaf")
+    s = et.Scene(dev)
+    s.attach(et.SubdivMesh(sv, sfc, sfi))
+    s.set_levels(5, 3)
+    t0 = time.perf_counter()
+    cs = s.commit()
+    out["BENCHMARK_BUILD_SUBDIV_MPRIMS_S"] = \
+        len(sfc) / (time.perf_counter() - t0) / 1e6
+    _trav_rows(out, et, jax, cs, "subdiv", n_rays, rng, reps)
 
     for k, v in out.items():
         print(f"{k} {v:.4g}")
     return out
+
+
+def _trav_rows(out, et, jax, cs, name, n_rays, rng, reps):
+    import time
+    for mode, raygen in (("coherent", _coherent_rays),
+                         ("incoherent", _incoherent_rays)):
+        org, d = raygen(n_rays, rng)
+        rays = et.make_rays(org, d)
+        for q, fn in (("intersect",
+                       lambda: et.scene_intersect(cs, rays).t),
+                      ("occluded",
+                       lambda: et.scene_occluded(cs, rays))):
+            jax.block_until_ready(fn())
+            t0 = time.perf_counter()
+            outs = [fn() for _ in range(reps)]
+            jax.block_until_ready(outs)
+            dt = time.perf_counter() - t0
+            key = (f"BENCHMARK_TRAV_{name.upper()}_{mode.upper()}"
+                   f"_{q.upper()}_MRAYPS")
+            out[key] = reps * len(org) / dt / 1e6
 
 
 if __name__ == "__main__":

@@ -170,7 +170,7 @@ SENT = np.int32(-2 ** 31)       # chain-finished sentinel (v2 kernel)
 
 
 
-_BLOCK_BUCKETS = (1, 4, 16, 64, 256, 1024, 4096)
+_BLOCK_BUCKETS = (1, 4, 16, 64, 128, 256, 1024, 4096)
 
 
 def _bucket_blocks(nb: int) -> int:

@@ -70,9 +70,9 @@ mism = (np.abs(np.where(np.isfinite(t4), t4, 0) -
 print(f"bvh4-vs-bvh8 t mismatch frac: {mism:.2e} "
       f"(hit frac {np.mean(p4 >= 0):.3f} vs {np.mean(p8 >= 0):.3f})")
 
-for cs, label in ((cs4, "bvh4"), (cs8, "bvh8")):
-    for sub in (32, 64):
-        for K in (8, 16):
+for cs, label in ((cs4, "bvh4"),):
+    for sub in (64,):
+        for K in (8, 16, 24, 32):
             tilesets = []
             for r in sorted_sets:
                 tiles, R, nb = _ray_tiles(r, sub)

@@ -50,6 +50,19 @@ def pixel_morton_order(width: int, height: int):
     return perm, inv
 
 
+def pixel_coords(width: int, height: int, perm=None):
+    """Flat (x, y) f32 pixel-center coordinates for ray generation —
+    in morton order when `perm` (from pixel_morton_order) is given,
+    image-row order otherwise. Shared by the tutorial renderers."""
+    if perm is not None:
+        return ((perm % width).astype(jnp.float32),
+                (perm // width).astype(jnp.float32))
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xg, yg = jnp.meshgrid(xs, ys)
+    return xg.reshape(-1), yg.reshape(-1)
+
+
 @functools.lru_cache(maxsize=16)
 def pixel_morton_order_device(width: int, height: int):
     """Device-resident (perm, inv) — cached so per-frame render calls

@@ -22,7 +22,7 @@ from ...core.math import dot, normalize
 from ...core.rayhit import Rays
 from ...scene.geometry import SubdivMesh, TriangleMesh
 from ...scene.scene import CommittedScene, Scene, scene_intersect, scene_occluded
-from ..camera import Camera
+from ..camera import Camera, pixel_coords
 from ..noise import fbm_displacement
 from ..tutorial_app import TutorialApplication
 
@@ -70,14 +70,7 @@ def build_scene(subdiv_mode=None, subdiv_level=SUBDIVISION_LEVEL,
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def render(cscene: CommittedScene, cam_vx, cam_vy, cam_vz, cam_p,
            perm=None, inv=None, *, width: int, height: int):
-    if perm is not None:  # morton pixel tiles (camera.pixel_morton_order)
-        x = (perm % width).astype(jnp.float32)
-        y = (perm // width).astype(jnp.float32)
-    else:
-        xs = jnp.arange(width, dtype=jnp.float32)
-        ys = jnp.arange(height, dtype=jnp.float32)
-        xg, yg = jnp.meshgrid(xs, ys)
-        x, y = xg.reshape(-1), yg.reshape(-1)
+    x, y = pixel_coords(width, height, perm)
     d = normalize(x[..., None] * cam_vx + y[..., None] * cam_vy + cam_vz)
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),

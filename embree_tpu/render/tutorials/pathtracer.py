@@ -29,7 +29,7 @@ from ...core.math import dot, normalize
 from ...core.rayhit import Rays
 from ...scene.geometry import QuadMesh, TriangleMesh
 from ...scene.scene import Scene, scene_intersect, scene_occluded
-from ..camera import Camera
+from ..camera import Camera, pixel_coords
 from ..lights import LIGHT_QUAD, LightTable, make_light_table, sample_light
 from ..materials import (MAT_MATTE, MAT_MIRROR, MaterialTable, eval_brdf,
                          make_material_table, sample_bsdf)
@@ -111,14 +111,7 @@ def render_pt(cscene, materials: MaterialTable, lights: LightTable,
               *, width: int, height: int, spp: int = 4, n_lights: int = 1):
     key0 = jax.random.PRNGKey(seed)
 
-    if perm is not None:  # morton pixel tiles (camera.pixel_morton_order)
-        px = (perm % width).astype(jnp.float32)
-        py = (perm // width).astype(jnp.float32)
-    else:
-        xs = jnp.arange(width, dtype=jnp.float32)
-        ys = jnp.arange(height, dtype=jnp.float32)
-        pxg, pyg = jnp.meshgrid(xs, ys)
-        px, py = pxg.reshape(-1), pyg.reshape(-1)
+    px, py = pixel_coords(width, height, perm)
     shape = px.shape
 
     def one_sample(key):

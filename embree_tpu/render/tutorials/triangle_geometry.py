@@ -25,7 +25,7 @@ from ...core.math import dot, normalize
 from ...core.rayhit import Rays
 from ...scene.geometry import TriangleMesh
 from ...scene.scene import CommittedScene, Scene, scene_intersect, scene_occluded
-from ..camera import Camera
+from ..camera import Camera, pixel_coords
 from ..tutorial_app import TutorialApplication
 
 CUBE_VERTICES = np.array([
@@ -77,14 +77,7 @@ def render(cscene: CommittedScene, face_colors, prim_offset,
     pixel-morton order so each traversal packet covers an ~square screen
     tile (the reference's TILE_SIZE render tiles, tutorial_device.cpp)
     and the framebuffer is un-permuted at the end with one gather."""
-    if perm is not None:
-        x = (perm % width).astype(jnp.float32)
-        y = (perm // width).astype(jnp.float32)
-    else:
-        xs = jnp.arange(width, dtype=jnp.float32)
-        ys = jnp.arange(height, dtype=jnp.float32)
-        xg, yg = jnp.meshgrid(xs, ys)
-        x, y = xg.reshape(-1), yg.reshape(-1)
+    x, y = pixel_coords(width, height, perm)
     d = normalize(x[..., None] * cam_vx + y[..., None] * cam_vy + cam_vz)
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),

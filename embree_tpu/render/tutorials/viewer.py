@@ -18,7 +18,7 @@ from ...core.device import Device
 from ...core.math import dot, normalize
 from ...core.rayhit import Rays
 from ...scene.scene import Scene, scene_intersect
-from ..camera import Camera
+from ..camera import Camera, pixel_coords
 from ..materials import make_material_table
 from ..objloader import load_obj
 from ..texture import make_texture_set, sample_texture
@@ -91,14 +91,7 @@ def build_scene(obj_path: str, subdiv_mode=None, subdiv_level=5,
 def render(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
            cam_vx, cam_vy, cam_vz, cam_p, perm=None, inv=None,
            *, width: int, height: int):
-    if perm is not None:  # morton pixel tiles (camera.pixel_morton_order)
-        x = (perm % width).astype(jnp.float32)
-        y = (perm // width).astype(jnp.float32)
-    else:
-        xs = jnp.arange(width, dtype=jnp.float32)
-        ys = jnp.arange(height, dtype=jnp.float32)
-        xg, yg = jnp.meshgrid(xs, ys)
-        x, y = xg.reshape(-1), yg.reshape(-1)
+    x, y = pixel_coords(width, height, perm)
     d = normalize(x[..., None] * cam_vx + y[..., None] * cam_vy + cam_vz)
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),

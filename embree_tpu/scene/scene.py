@@ -425,7 +425,9 @@ class Scene:
         `coherent` is the RTC_INTERSECT_CONTEXT_FLAG_COHERENT hint (skips
         the stream sort for primary-ray-like batches); `mask` is the
         per-ray i32 mask (ray.mask, EMBREE_RAY_MASK) tested against each
-        geometry's rtcSetGeometryMask value."""
+        geometry's rtcSetGeometryMask value. Masks apply to the
+        triangle/quad accels (masked batches run the XLA kernel variant,
+        like filters); user-geometry callbacks receive no mask."""
         cs = self._require_commit()
         return scene_intersect(cs, rays, isa=self.device.state.isa,
                                time=time,

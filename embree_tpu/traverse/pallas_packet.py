@@ -4,28 +4,30 @@ The production TPU path for the shared-stack packet traversal in
 traverse/packet.py (which stays as the CPU / autodiff reference). Design,
 in hardware terms (see /opt/skills/guides/pallas_guide.md):
 
-  * A packet = 1024 rays laid out as one (8, 128) f32 VPU tile per
-    component. All per-ray state (t, prim) are (8, 128) tiles, so every
-    box / triangle test is a handful of full-width VPU ops.
-  * One node = one 128-lane f32 row:
-    [lo_x[4] lo_y[4] lo_z[4] hi_x[4] hi_y[4] hi_z[4] child[4] count[4]]
+  * A packet = DEFAULT_SUB*128 rays laid out as one (sub, 128) f32 VPU
+    tile per component. All per-ray state (t, prim) are (sub, 128)
+    tiles, so every box / triangle test is a handful of full-width VPU
+    ops.
+  * One node = one 128-lane f32 row of stride-W fields
+    [lo_x[W] lo_y[W] lo_z[W] hi_x[W] hi_y[W] hi_z[W] child[W] count[W]]
     (child/count stored as exact small floats; exact below 2^24).
-    Triangles pack 10 per row [v0 v1 v2 pad]x10, pre-reordered into BVH
-    leaf order so leaves are contiguous (no prim_order indirection).
+    Triangles pack 10 per row [v0 e1 e2 Ng]x10 (precomputed Moeller),
+    pre-reordered into BVH leaf order so leaves are contiguous.
   * Mosaic cannot scalar-load VMEM at dynamic lane offsets, so each pop
     DMAs the node row VMEM->SMEM (~0.8us round trip measured on v5e) and
     reads scalars from SMEM — the TPU expression of embree's cached node
     fetch. Leaf hits DMA two triangle rows the same way. The traversal
     stack is a scalar SMEM array (bvh_intersector1.cpp:73-127 analog).
-  * Children push via a 4-wide sorting network (distance-descending so
+  * Children push via a W-wide sorting network (distance-descending so
     the nearest pops first) — branch-free traverseClosestHit
-    (bvh_traverser1.h).
+    (bvh_traverser1.h) — and popped subtrees whose entry distance beats
+    every ray's best t are culled (pop-cull).
   * Per-packet ray-stat counters (pops, leaf tests) are emitted — the
     STAT3 analog (kernels/common/stat.h:22-33).
 
 Grid = one program per packet; node/tri tables stay VMEM-resident across
-packets. Scenes must fit VMEM (~12 MB => ~180k tris); larger scenes fall
-back to the XLA path until the HBM-resident variant lands.
+packets when they fit (~12 MB => ~180k tris) and move to HBM above that
+(every access is a row DMA either way, only fetch latency changes).
 
 NOTE (axon): while-loop trip bounds must be runtime values (SMEM input);
 constant bounds make Mosaic unroll and compile forever.
@@ -33,15 +35,14 @@ constant bounds make Mosaic unroll and compile forever.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
+import jax.core
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..build.bvh import BVH
 from ..core.rayhit import Hits, Rays
 from ..core.stats import instance as _stat_instance, stats_enabled
 from ..scene.prims import TrianglePrims
@@ -51,14 +52,12 @@ from .packet import _finalize_hits
 def _record_stats(shadow: bool, rays: int, stats) -> None:
     """STAT3 accumulation (core/stats.py) — eager calls only; traced
     values can't be pulled to host."""
-    import jax.core
     if stats_enabled() and not isinstance(stats, jax.core.Tracer):
         _stat_instance().add(shadow, rays, stats)
 
 DEFAULT_SUB = 64                # sublanes per packet tile (rays = SUB*128)
                                 # (sub-sweep on v5e: 64 > 48 > 32 > 128 on
                                 # the sorted 1M incoherent workload)
-TILE = (8, 128)                 # legacy alias (pallas_cbvh uses its own)
 NT_PER_ROW = 10                 # tris per row (10 x 12 floats + 8 pad)
 MAX_LEAF = 8                    # builder max_leaf_size must stay <= 11
 STACK_DEPTH = 160
@@ -166,7 +165,7 @@ def _rcp_safe(a):
     return jnp.where(jnp.abs(a) < 1e-30, jnp.where(a < 0, -1e30, 1e30), 1.0 / a)
 
 
-SENT = np.int32(-2 ** 31)       # chain-finished sentinel (v2 kernel)
+SENT = np.int32(-2 ** 31)       # empty-stack-slot sentinel
 
 
 

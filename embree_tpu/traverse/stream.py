@@ -55,21 +55,17 @@ def _sort_with_rays(keys: jnp.ndarray, rays: Rays):
     return srays, out[9]
 
 
-@jax.jit
 def sort_rays(rays: Rays, world_lower, world_upper):
-    """Returns (sorted_rays, inverse_permutation). Jitted standalone so
-    the eager-call path (bench/tutorial drivers) doesn't pay per-op
-    dispatch."""
-    keys = stream_sort_keys(rays, world_lower, world_upper)
-    srays, perm = _sort_with_rays(keys, rays)
-    inv = jnp.argsort(perm)
+    """Returns (sorted_rays, inverse_permutation)."""
+    srays, _perm, inv = sort_rays_perm(rays, world_lower, world_upper)
     return srays, inv
 
 
 @jax.jit
 def sort_rays_perm(rays: Rays, world_lower, world_upper):
-    """Like sort_rays but also returns the forward permutation, for
-    callers that must co-sort per-ray payloads (e.g. MB ray times)."""
+    """Returns (sorted_rays, perm, inv); jitted standalone so the
+    eager-call path (bench/tutorial drivers) doesn't pay per-op dispatch.
+    `perm` lets callers co-sort per-ray payloads (e.g. MB ray times)."""
     keys = stream_sort_keys(rays, world_lower, world_upper)
     srays, perm = _sort_with_rays(keys, rays)
     inv = jnp.argsort(perm)
@@ -85,22 +81,23 @@ def sort_rays_stream(rays: Rays, world_lower, world_upper):
     return _sort_with_rays(keys, rays)
 
 
-def unsort_by_perm(perm: jnp.ndarray, t: jnp.ndarray, prim: jnp.ndarray):
-    """Restore original ray order for the (t, prim) result pair with one
-    payload sort keyed on the original index (2 gathers = ~26 ms at 1M;
-    this sort = ~7 ms)."""
-    _, t_o, prim_o = jax.lax.sort((perm, t, prim), num_keys=1)
-    return t_o, prim_o
+def unsort_by_perm(perm: jnp.ndarray, *arrays: jnp.ndarray):
+    """Restore original ray order for per-ray result arrays with one
+    payload sort keyed on the original index (a 1M gather is ~13 ms per
+    array; this sort is ~7 ms total). Bools ride as i32 payloads (XLA
+    sort payload dtypes are limited on TPU). Returns one array or a
+    tuple, matching the arity."""
+    bools = [a.dtype == jnp.bool_ for a in arrays]
+    pay = tuple(a.astype(jnp.int32) if b else a
+                for a, b in zip(arrays, bools))
+    out = jax.lax.sort((perm,) + pay, num_keys=1)[1:]
+    out = tuple(o.astype(jnp.bool_) if b else o
+                for o, b in zip(out, bools))
+    return out[0] if len(out) == 1 else out
 
 
 def unsort_one(perm: jnp.ndarray, x: jnp.ndarray):
-    """Restore original order for a single per-ray array (bools ride as
-    i32 payloads — XLA sort payload dtypes are limited on TPU)."""
-    if x.dtype == jnp.bool_:
-        _, o = jax.lax.sort((perm, x.astype(jnp.int32)), num_keys=1)
-        return o.astype(jnp.bool_)
-    _, o = jax.lax.sort((perm, x), num_keys=1)
-    return o
+    return unsort_by_perm(perm, x)
 
 
 def unsort(x, inv):

@@ -92,7 +92,6 @@ def run(n_prims: int = 1_000_000, n_rays: int = 65536, reps: int = 8) -> dict:
 
 
 def _trav_rows(out, et, jax, cs, name, n_rays, rng, reps):
-    import time
     for mode, raygen in (("coherent", _coherent_rays),
                          ("incoherent", _incoherent_rays)):
         org, d = raygen(n_rays, rng)

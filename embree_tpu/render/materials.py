@@ -1,12 +1,15 @@
 """Material table + BSDF sampling (SoA, wavefront-friendly).
 
-Parity subset of the reference pathtracer's material zoo
-(tutorials/pathtracer/pathtracer_device.cpp:458-760, 13 types): OBJ
-(diffuse + phong specular + transparency, the loader's default), MATTE,
-MIRROR, THIN_DIELECTRIC and EMITTER cover the tutorial scenes. All
-materials live in one SoA table; sampling/eval are branch-free masked
-ops over the whole wavefront (the TPU analog of the reference's
-per-material virtual dispatch).
+The reference pathtracer's material zoo
+(tutorials/pathtracer/pathtracer_device.cpp:458-760): OBJ (diffuse +
+phong specular + transparency, the loader's default), MATTE, MIRROR,
+THIN_DIELECTRIC, EMITTER, METAL (Cook-Torrance with power-cosine
+distribution and conductor fresnel, :601-626), REFLECTIVE_METAL
+(delta mirror x conductor fresnel, :640-643), VELVET (horizon-scatter
+lobe, :164-196), METALLIC_PAINT (dielectric-coated lambertian,
+:741-760). All materials live in one SoA table; sampling/eval are
+branch-free masked ops over the whole wavefront (the TPU analog of the
+reference's per-material virtual dispatch).
 """
 from __future__ import annotations
 
@@ -21,15 +24,21 @@ MAT_OBJ = 1
 MAT_MIRROR = 2
 MAT_DIELECTRIC = 3
 MAT_EMITTER = 4
+MAT_METAL = 5             # microfacet conductor (power-cosine D)
+MAT_REFLECTIVE_METAL = 6  # delta mirror x conductor fresnel
+MAT_VELVET = 7            # horizon scattering (Velvety BRDF); f = ns
+MAT_METALLIC_PAINT = 8    # dielectric-coated lambertian
 
 
 class MaterialTable(NamedTuple):
     type: jnp.ndarray   # (M,) i32
-    kd: jnp.ndarray     # (M, 3) diffuse
-    ks: jnp.ndarray     # (M, 3) specular / mirror reflectance
-    ns: jnp.ndarray     # (M,) phong exponent
+    kd: jnp.ndarray     # (M, 3) diffuse / velvet R / paint shadeColor
+    ks: jnp.ndarray     # (M, 3) specular / mirror / metal reflectance
+    ns: jnp.ndarray     # (M,) phong exponent / velvet horizon falloff
     d: jnp.ndarray      # (M,) opacity (OBJ "d")
-    eta: jnp.ndarray    # (M,) ior for dielectric
+    eta: jnp.ndarray    # (M,) ior (dielectric/paint) or conductor eta
+    k: jnp.ndarray      # (M,) conductor extinction (metal fresnel)
+    rough: jnp.ndarray  # (M,) metal roughness (D exponent = 1/rough)
     le: jnp.ndarray     # (M, 3) emission
 
 
@@ -41,6 +50,8 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
     ns = np.full(n, 10.0, np.float32)
     d = np.ones(n, np.float32)
     eta = np.full(n, 1.5, np.float32)
+    kk = np.zeros(n, np.float32)
+    rough = np.full(n, 0.1, np.float32)
     le = np.zeros((n, 3), np.float32)
     for i, m in enumerate(mats):
         t[i] = m.get("type", MAT_OBJ)
@@ -49,8 +60,27 @@ def make_material_table(mats: list[dict]) -> MaterialTable:
         ns[i] = m.get("ns", 10.0)
         d[i] = m.get("d", 1.0)
         eta[i] = m.get("eta", 1.5)
+        kk[i] = m.get("k", 0.0)
+        rough[i] = m.get("roughness", 0.1)
         le[i] = m.get("le", (0.0, 0.0, 0.0))
-    return MaterialTable(*map(jnp.asarray, (t, kd, ks, ns, d, eta, le)))
+    return MaterialTable(*map(jnp.asarray,
+                              (t, kd, ks, ns, d, eta, kk, rough, le)))
+
+
+def fresnel_conductor(cos_o, eta, k):
+    """Unpolarized conductor Fresnel (average of Rs/Rp), scalar eta/k."""
+    c = jnp.clip(jnp.abs(cos_o), 0.0, 1.0)
+    e2k2 = eta * eta + k * k
+    c2 = c * c
+    rs = (e2k2 - 2.0 * eta * c + c2) / (e2k2 + 2.0 * eta * c + c2 + 1e-12)
+    rp = (e2k2 * c2 - 2.0 * eta * c + 1.0) / (e2k2 * c2 + 2.0 * eta * c
+                                              + 1.0 + 1e-12)
+    return jnp.clip(0.5 * (rs + rp), 0.0, 1.0)
+
+
+def fresnel_dielectric_schlick(cos_o, eta):
+    r0 = ((1.0 - eta) / (1.0 + eta)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - jnp.abs(cos_o)) ** 5
 
 
 def _ortho_basis(n):
@@ -94,7 +124,38 @@ def eval_brdf(mt: MaterialTable, mid, wo, ns_normal, wi):
     t = mt.type[mid]
     f = jnp.where((t == MAT_MATTE)[..., None], diffuse, 0.0)
     f = jnp.where((t == MAT_OBJ)[..., None], diffuse + phong, f)
-    # mirror / dielectric have delta BSDFs -> no NEE contribution
+
+    cos_o = jnp.maximum(jnp.sum(wo * ns_normal, -1), 0.0)
+    # METAL: Cook-Torrance, power-cosine D, conductor F, V-cavity G
+    # (MetalMaterial__eval, pathtracer_device.cpp:601-617)
+    wh = wo + wi
+    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True), 1e-12)
+    cos_h = jnp.maximum(jnp.sum(wh * ns_normal, -1), 0.0)
+    cos_ih = jnp.maximum(jnp.sum(wi * wh, -1), 1e-6)
+    ex = 1.0 / jnp.maximum(mt.rough[mid], 1e-4)
+    D = (ex + 2.0) / (2.0 * np.pi) * cos_h ** ex
+    F = fresnel_conductor(cos_ih, mt.eta[mid], mt.k[mid])
+    G = jnp.minimum(1.0, jnp.minimum(
+        2.0 * cos_h * cos_o / cos_ih, 2.0 * cos_h * cos_i / cos_ih))
+    metal = mt.ks[mid] * (F * D * G
+                          / jnp.maximum(4.0 * cos_o, 1e-6)
+                          * cos_i)[..., None]
+    ok = (cos_i > 0) & (cos_o > 0)
+    f = jnp.where((t == MAT_METAL)[..., None],
+                  jnp.where(ok[..., None], metal, 0.0), f)
+
+    # VELVET: horizon scattering (Velvety__eval, :177-184)
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 0.0))
+    velvet = mt.kd[mid] * (sin_o ** mt.ns[mid] * cos_i / np.pi)[..., None]
+    f = jnp.where((t == MAT_VELVET)[..., None], velvet, f)
+
+    # METALLIC_PAINT: dielectric-layered lambertian base (coat is delta)
+    fo = fresnel_dielectric_schlick(cos_o, mt.eta[mid])
+    fi = fresnel_dielectric_schlick(cos_i, mt.eta[mid])
+    paint = mt.kd[mid] * (((1.0 - fo) * (1.0 - fi)) / np.pi
+                          * cos_i)[..., None]
+    f = jnp.where((t == MAT_METALLIC_PAINT)[..., None], paint, f)
+    # mirror / dielectric / reflective-metal are delta BSDFs -> no NEE
     return f
 
 
@@ -142,12 +203,56 @@ def sample_bsdf(mt: MaterialTable, mid, wo, ns_normal, key):
                     kd / jnp.maximum(p_diff, 1e-6)[..., None],
                     ks / jnp.maximum(1 - p_diff, 1e-6)[..., None])
 
+    cos_oo = jnp.maximum(jnp.sum(wo * ns_normal, -1), 0.0)
+
+    # METAL: sample the power-cosine half-vector distribution around the
+    # normal, reflect wo about it (MetalMaterial__sample :619-626);
+    # weight = eval/pdf which reduces to reflectance * F * G-ratio —
+    # approximated by reflectance * F (the D/pdf terms cancel)
+    ex = 1.0 / jnp.maximum(mt.rough[mid], 1e-4)
+    cos_h = u1 ** (1.0 / (ex + 2.0))
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    phi = 2.0 * np.pi * u2
+    t1, t2 = _ortho_basis(ns_normal)
+    wh = (sin_h * jnp.cos(phi))[..., None] * t1 \
+        + (sin_h * jnp.sin(phi))[..., None] * t2 \
+        + cos_h[..., None] * ns_normal
+    wi_metal = reflect(-wo, wh)
+    f_cond = fresnel_conductor(jnp.sum(wo * wh, -1), mt.eta[mid], mt.k[mid])
+    w_metal = ks * f_cond[..., None]
+
+    # REFLECTIVE_METAL: delta mirror x conductor fresnel (:640-643)
+    w_rmetal = ks * fresnel_conductor(cos_oo, mt.eta[mid],
+                                      mt.k[mid])[..., None]
+
+    # VELVET: cosine sample; weight = eval * pi / cos = R * sinO^f
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_oo * cos_oo, 0.0))
+    w_velvet = kd * (sin_o ** mt.ns[mid])[..., None]
+
+    # METALLIC_PAINT: coat (delta mirror) with prob F(cosO), else the
+    # dielectric-layered lambertian base
+    f_coat = fresnel_dielectric_schlick(cos_oo, mt.eta[mid])
+    coat = u3 < f_coat
+    wi_p = jnp.where(coat[..., None], wi_m, wi_d)
+    w_p = jnp.where(coat[..., None], jnp.ones_like(kd),
+                    kd * (1.0 - f_coat)[..., None])
+
     wi = jnp.where((t == MAT_MIRROR)[..., None], wi_m, wi_d)
     w = jnp.where((t == MAT_MIRROR)[..., None], w_m, w_d)
     wi = jnp.where((t == MAT_OBJ)[..., None], wi_o, wi)
     w = jnp.where((t == MAT_OBJ)[..., None], w_o, w)
     wi = jnp.where((t == MAT_DIELECTRIC)[..., None], wi_g, wi)
     w = jnp.where((t == MAT_DIELECTRIC)[..., None], w_g, w)
+    wi = jnp.where((t == MAT_METAL)[..., None], wi_metal, wi)
+    w = jnp.where((t == MAT_METAL)[..., None], w_metal, w)
+    wi = jnp.where((t == MAT_REFLECTIVE_METAL)[..., None], wi_m, wi)
+    w = jnp.where((t == MAT_REFLECTIVE_METAL)[..., None], w_rmetal, w)
+    wi = jnp.where((t == MAT_VELVET)[..., None], wi_d, wi)
+    w = jnp.where((t == MAT_VELVET)[..., None], w_velvet, w)
+    wi = jnp.where((t == MAT_METALLIC_PAINT)[..., None], wi_p, wi)
+    w = jnp.where((t == MAT_METALLIC_PAINT)[..., None], w_p, w)
     is_delta = (t == MAT_MIRROR) | (t == MAT_DIELECTRIC) \
-        | ((t == MAT_OBJ) & ~choose_d)
+        | (t == MAT_REFLECTIVE_METAL) \
+        | ((t == MAT_OBJ) & ~choose_d) \
+        | ((t == MAT_METALLIC_PAINT) & coat)
     return wi, w, is_delta

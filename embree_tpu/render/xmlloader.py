@@ -24,8 +24,9 @@ import xml.etree.ElementTree as ET
 import numpy as np
 
 from ..scene.geometry import QuadMesh, SubdivMesh, TriangleMesh
-from .materials import (MAT_DIELECTRIC, MAT_EMITTER, MAT_MATTE, MAT_MIRROR,
-                        MAT_OBJ)
+from .materials import (MAT_DIELECTRIC, MAT_EMITTER, MAT_MATTE, MAT_METAL,
+                        MAT_METALLIC_PAINT, MAT_MIRROR, MAT_OBJ,
+                        MAT_REFLECTIVE_METAL, MAT_VELVET)
 
 
 def _floats(e) -> np.ndarray:
@@ -109,7 +110,9 @@ def _compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 _MAT_CODES = {"Matte": MAT_MATTE, "Mirror": MAT_MIRROR, "OBJ": MAT_OBJ,
               "OBJMaterial": MAT_OBJ, "Dielectric": MAT_DIELECTRIC,
-              "ThinDielectric": MAT_DIELECTRIC, "ThinGlass": MAT_DIELECTRIC}
+              "ThinDielectric": MAT_DIELECTRIC, "ThinGlass": MAT_DIELECTRIC,
+              "Metal": MAT_METAL, "ReflectiveMetal": MAT_REFLECTIVE_METAL,
+              "Velvet": MAT_VELVET, "MetallicPaint": MAT_METALLIC_PAINT}
 
 
 class XMLScene:
@@ -277,7 +280,9 @@ def _fmt(a: np.ndarray) -> str:
 
 
 _MAT_NAMES = {MAT_MATTE: "Matte", MAT_MIRROR: "Mirror", MAT_OBJ: "OBJ",
-              MAT_DIELECTRIC: "Dielectric", MAT_EMITTER: "Matte"}
+              MAT_DIELECTRIC: "Dielectric", MAT_EMITTER: "Matte",
+              MAT_METAL: "Metal", MAT_REFLECTIVE_METAL: "ReflectiveMetal",
+              MAT_VELVET: "Velvet", MAT_METALLIC_PAINT: "MetallicPaint"}
 
 
 def write_xml(path: str, scene: XMLScene) -> None:

@@ -32,13 +32,16 @@ MAT_METALLIC_PAINT = 8    # dielectric-coated lambertian
 
 class MaterialTable(NamedTuple):
     type: jnp.ndarray   # (M,) i32
-    kd: jnp.ndarray     # (M, 3) diffuse / velvet R / paint shadeColor
-    ks: jnp.ndarray     # (M, 3) specular / mirror / metal reflectance
+    kd: jnp.ndarray     # (M, 3) diffuse / velvet horizonScatteringColor /
+    #                     paint shadeColor
+    ks: jnp.ndarray     # (M, 3) specular / mirror / metal reflectance /
+    #                     velvet Minneart reflectance
     ns: jnp.ndarray     # (M,) phong exponent / velvet horizon falloff
     d: jnp.ndarray      # (M,) opacity (OBJ "d")
     eta: jnp.ndarray    # (M,) ior (dielectric/paint) or conductor eta
     k: jnp.ndarray      # (M,) conductor extinction (metal fresnel)
-    rough: jnp.ndarray  # (M,) metal roughness (D exponent = 1/rough)
+    rough: jnp.ndarray  # (M,) metal roughness (D exponent = 1/rough) /
+    #                     velvet backScattering exponent
     le: jnp.ndarray     # (M, 3) emission
 
 
@@ -144,10 +147,14 @@ def eval_brdf(mt: MaterialTable, mid, wo, ns_normal, wi):
     f = jnp.where((t == MAT_METAL)[..., None],
                   jnp.where(ok[..., None], metal, 0.0), f)
 
-    # VELVET: horizon scattering (Velvety__eval, :177-184)
+    # VELVET = Minneart(reflectance=ks, backScattering=rough)
+    #        + Velvety(horizonScatteringColor=kd, falloff=ns)
+    # (VelvetMaterial__eval, pathtracer_device.cpp:654-659)
     sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 0.0))
-    velvet = mt.kd[mid] * (sin_o ** mt.ns[mid] * cos_i / np.pi)[..., None]
-    f = jnp.where((t == MAT_VELVET)[..., None], velvet, f)
+    velvety = mt.kd[mid] * (sin_o ** mt.ns[mid] * cos_i / np.pi)[..., None]
+    back = jnp.clip(jnp.sum(wo * wi, -1), 0.0, 1.0) ** mt.rough[mid]
+    minneart = mt.ks[mid] * (back * cos_i / np.pi)[..., None]
+    f = jnp.where((t == MAT_VELVET)[..., None], velvety + minneart, f)
 
     # METALLIC_PAINT: dielectric-layered lambertian base (coat is delta)
     fo = fresnel_dielectric_schlick(cos_o, mt.eta[mid])
@@ -219,15 +226,24 @@ def sample_bsdf(mt: MaterialTable, mid, wo, ns_normal, key):
         + cos_h[..., None] * ns_normal
     wi_metal = reflect(-wo, wh)
     f_cond = fresnel_conductor(jnp.sum(wo * wh, -1), mt.eta[mid], mt.k[mid])
-    w_metal = ks * f_cond[..., None]
+    # hemisphere rejection (MetalMaterial__sample :624-626): zero weight
+    # when the sampled direction lands below the surface (or wo already
+    # is) so continuation rays never start inside opaque geometry
+    metal_up = (jnp.sum(wi_metal * ns_normal, -1) > 0.0) \
+        & (jnp.sum(wo * ns_normal, -1) > 0.0)
+    w_metal = jnp.where(metal_up[..., None], ks * f_cond[..., None], 0.0)
 
     # REFLECTIVE_METAL: delta mirror x conductor fresnel (:640-643)
     w_rmetal = ks * fresnel_conductor(cos_oo, mt.eta[mid],
                                       mt.k[mid])[..., None]
 
-    # VELVET: cosine sample; weight = eval * pi / cos = R * sinO^f
+    # VELVET: cosine sample; weight = eval * pi / cos =
+    # Velvety kd * sinO^f + Minneart ks * dot(wo,wi)^b
+    # (VelvetMaterial__sample :661-669 via sample_component2)
     sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_oo * cos_oo, 0.0))
-    w_velvet = kd * (sin_o ** mt.ns[mid])[..., None]
+    back_d = jnp.clip(jnp.sum(wo * wi_d, -1), 0.0, 1.0) ** mt.rough[mid]
+    w_velvet = kd * (sin_o ** mt.ns[mid])[..., None] \
+        + ks * back_d[..., None]
 
     # METALLIC_PAINT: coat (delta mirror) with prob F(cosO), else the
     # dielectric-layered lambertian base

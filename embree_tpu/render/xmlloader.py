@@ -157,12 +157,28 @@ class _Loader:
         code = (code_e.text or "").strip().strip('"') \
             if code_e is not None else "OBJ"
         parms = _load_parms(e.find("parameters"))
-        m = {"type": _MAT_CODES.get(code, MAT_OBJ)}
+        mtype = _MAT_CODES.get(code, MAT_OBJ)
+        m = {"type": mtype}
         for src, dst in (("Kd", "kd"), ("reflectance", "kd"), ("Ks", "ks"),
                          ("Ns", "ns"), ("d", "d"), ("Le", "le"),
-                         ("eta", "eta"), ("etaOutside", "eta")):
+                         ("eta", "eta"), ("etaOutside", "eta"),
+                         ("k", "k"), ("roughness", "roughness")):
             if src in parms:
                 m[dst] = parms[src]
+        if mtype in (MAT_METAL, MAT_REFLECTIVE_METAL) and \
+                "reflectance" in parms:
+            # metal reflectance scales the specular lobe (MetalMaterial,
+            # xml_loader.cpp:838-845)
+            m["ks"] = parms["reflectance"]
+            m.pop("kd", None)
+        if mtype == MAT_VELVET:
+            # VelvetMaterial params (xml_loader.cpp:849-852):
+            # Minneart(reflectance, backScattering) +
+            # Velvety(horizonScatteringColor, horizonScatteringFallOff)
+            m["ks"] = parms.get("reflectance", (1.0, 1.0, 1.0))
+            m["kd"] = parms.get("horizonScatteringColor", (1.0, 1.0, 1.0))
+            m["ns"] = parms.get("horizonScatteringFallOff", 0.0)
+            m["roughness"] = parms.get("backScattering", 0.0)
         idx = len(self.scene.materials)
         self.scene.materials.append(m)
         if mid:

@@ -349,19 +349,24 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                 pushes[a], pushes[b] = (
                     jnp.where(swap, pushes[b], pushes[a]),
                     jnp.where(swap, pushes[a], pushes[b]))
+            depth_limit = STACK_DEPTH if W <= 4 else STACK_DEPTH * 2
             for k in range(W):
                 sp_k = sp
+                # overflow guard: drop pushes past the scratch depth
+                # (conservative miss beats silent SMEM corruption; the
+                # width-aware depth makes this unreachable in practice)
+                can = pushes[k] & (sp_k < depth_limit)
 
-                @pl.when(pushes[k])
+                @pl.when(can)
                 def _(sp_k=sp_k, k=k):
                     stack[sp_k] = refs[k]
                     dstack[sp_k] = keys[k]
 
-                sp = sp + pushes[k].astype(jnp.int32)
+                sp = sp + can.astype(jnp.int32)
             return t, prim, sp
 
         def step(carry):
-            sp, t, prim, iters, ltests = carry
+            sp, t, prim, iters, npops, ltests = carry
             # pop-cull (bvh_intersector1.cpp:83-88): a stacked subtree
             # whose entry distance exceeds every ray's current best t
             # cannot improve any hit — skip it (fires on coherent all-hit
@@ -390,9 +395,12 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                     is_leaf,
                     lambda tp, i=i: mt_leaf(i, refs[i], *tp),
                     lambda tp: tp, (t, prim))
+                # STAT3 semantics (stat.h:22-33): trav_nodes = real node
+                # pops, trav_leaves-style counter = per-leaf prim tests
+                npops = npops + is_node.astype(jnp.int32)
                 ltests = ltests + jnp.where(is_leaf,
                                             (-refs[i] - 1) & 15, 0)
-            return sp, t, prim, iters + 1, ltests
+            return sp, t, prim, iters + 1, npops, ltests
 
         if occluded:
             def cond(carry):
@@ -405,14 +413,15 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
         stack[0] = 0  # root
         dstack[0] = -INF
         prim0 = jnp.full((sub, 128), -1, jnp.int32)
-        sp, t, prim, iters, ltests = jax.lax.while_loop(
+        sp, t, prim, iters, npops, ltests = jax.lax.while_loop(
             cond, step,
-            (jnp.int32(1), tf[:], prim0, jnp.int32(0), jnp.int32(0)))
+            (jnp.int32(1), tf[:], prim0, jnp.int32(0), jnp.int32(0),
+             jnp.int32(0)))
 
         t_out[:] = t
         prim_out[:] = prim
         bid = pl.program_id(0)
-        stats_out[bid, 0] = iters
+        stats_out[bid, 0] = npops
         stats_out[bid, 1] = ltests
 
     return kernel
@@ -438,8 +447,10 @@ def _pallas_call_v3(occluded: bool, num_blocks: int, interpret: bool,
             jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH if width <= 4 else STACK_DEPTH * 2,),
+                       jnp.int32),
+            pltpu.SMEM((STACK_DEPTH if width <= 4 else STACK_DEPTH * 2,),
+                       jnp.float32),
             pltpu.SMEM((K, 128), jnp.float32),
             pltpu.SMEM((K, 2, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((K,)),

@@ -1,0 +1,292 @@
+"""Two-level treelet decomposition for the per-lane traversal kernel.
+
+The TPU-native answer to the reference's single-ray BVH traversal for
+incoherent rays (bvh_intersector1.cpp): the shared-stack packet kernel
+(traverse/pallas_packet.py) does work proportional to the per-packet
+*union* of visited nodes, which at reference scale (1M prims,
+verify.cpp:4473's benchmark shape) means each popped node serves only
+~16 of 8192 rays. Here every ray traverses independently (its own
+vector-register stack), which needs a per-lane node fetch — Mosaic's
+`tpu.dynamic_gather` (lane-indexed gather from an (8,128) register) —
+and that primitive handles ~128-lane tables, so the scene is cut into
+treelets whose tables fit one or two 128-lane chunks:
+
+  scene
+   └─ mids   (≤ ~512): union boxes of FAN consecutive treelets;
+   └─ treelets (mid*FAN + b): ≤ 256 prims each, laid out as an IMPLICIT
+      complete BVH4 — 85 inner slots (children of i = 4i+1) over 128
+      leaf-pair slots (L3 node i∈[21,85) has pairs 128+2(i-21)+{0,1};
+      its c≥2 child slots carry +inf bounds so they are never pushed).
+      Leaf slots inline TWO precomputed-Moeller triangles (v0/e1/e2/Ng,
+      triangle_intersector_moeller.h:75-112 layout) plus their global
+      prim ids — no separate prim table, so the per-lane fetch is a
+      single gather per field.
+
+Treelet membership comes from cutting the binary SAH tree (build/sah.py)
+at subtrees with ≤ P_CAP prims, so treelet quality is SAH quality; the
+interior quartering rides the SAH prim order. All arrays are built
+vectorized over every treelet at once (host numpy, commit-time).
+
+Block layout per treelet, f32 (2*F_FIELDS, 128) rows (chunk-major per
+field): chunk 0 lane s<85 = inner node fields [lo_x*4|lo_y*4|lo_z*4|
+hi_x*4|hi_y*4|hi_z*4|...]; chunk 1 lane j = leaf pair j fields
+[v0a|e1a|e2a|Nga|v0b|e1b|e2b|Ngb|pid_a|pid_b].
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+F_FIELDS = 26          # fields per slot (24 bounds / 24 tri floats + 2 pids)
+N_INNER = 85           # 1 + 4 + 16 + 64 implicit inner slots
+N_PAIRS = 128          # leaf-pair slots (chunk 1)
+P_CAP = 2 * N_PAIRS    # prims per treelet
+L3_BASE = 21           # first L3 inner slot
+
+
+class TreeletSceneNP(NamedTuple):
+    """Host-side build output."""
+
+    blocks: np.ndarray       # (Ntr_pad, 2*F_FIELDS, 128) f32 treelet blocks
+    mid_boxes: np.ndarray    # (M, 6) f32 [lo3 hi3]
+    tre_boxes: np.ndarray    # (M, 6, FAN) f32 per-mid treelet plane rows
+    fan: int
+    num_mids: int
+    num_treelets: int
+    num_prims: int
+
+    def to_device(self):
+        import jax.numpy as jnp
+        return TreeletScene(
+            blocks=jnp.asarray(self.blocks),
+            mid_boxes=jnp.asarray(self.mid_boxes.reshape(-1)),
+            tre_boxes=jnp.asarray(self.tre_boxes),
+            fan=self.fan, num_mids=self.num_mids,
+            num_treelets=self.num_treelets, num_prims=self.num_prims)
+
+
+class TreeletScene:
+    """Device pytree. fan/num_* are static aux data."""
+
+    def __init__(self, blocks, mid_boxes, tre_boxes, fan, num_mids,
+                 num_treelets, num_prims):
+        self.blocks = blocks
+        self.mid_boxes = mid_boxes   # (M*6,) f32 flat for SMEM
+        self.tre_boxes = tre_boxes   # (M, 6, FAN)
+        self.fan = fan
+        self.num_mids = num_mids
+        self.num_treelets = num_treelets
+        self.num_prims = num_prims
+
+    def tree_flatten(self):
+        return ((self.blocks, self.mid_boxes, self.tre_boxes),
+                (self.fan, self.num_mids, self.num_treelets, self.num_prims))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def hbm_bytes(self) -> int:
+        return 4 * int(np.prod(self.blocks.shape))
+
+
+import jax.tree_util  # noqa: E402
+
+jax.tree_util.register_pytree_node_class(TreeletScene)
+
+
+def choose_fan(num_prims: int) -> int:
+    """Pick FAN (treelets per mid) so the mid count stays small enough
+    for the XLA mid scan (~150 boxes) while FAN stays <= 128 lanes."""
+    est_treelets = max(1, num_prims // 170)
+    return int(min(128, max(8, -(-est_treelets // 150))))
+
+
+def _morton_np(c, lo, hi):
+    """30-bit morton codes of points c within [lo, hi] (numpy)."""
+    q = np.clip((c - lo) / np.maximum(hi - lo, 1e-20) * 1023.0,
+                0, 1023).astype(np.uint64)
+    out = np.zeros(c.shape[0], np.uint64)
+    for a in range(3):
+        v = q[:, a]
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        out |= v << np.uint64(a)
+    return out
+
+
+def _cut_ranges(prim_lower, prim_upper):
+    """SAH-cut treelet prim ranges: build a coarse binary SAH tree
+    (max_leaf 64 keeps the host sweep cheap) and cut at subtrees with
+    count <= P_CAP (contiguous ranges of the builder's reordered prim
+    array)."""
+    from .sah import BuildSettings, build_bvh2
+
+    n = prim_lower.shape[0]
+    if n <= P_CAP:
+        return np.asarray([[0, n]], np.int64), np.arange(n, dtype=np.int64)
+    child2, _nlo2, _nhi2, order, root_ref, leaf_mult = build_bvh2(
+        prim_lower, prim_upper, BuildSettings(max_leaf_size=64))
+    ranges = []
+
+    def leaf_range(ref):
+        v = -(ref + 1)
+        return int(v // leaf_mult), int(v % leaf_mult)
+
+    # iterative walk: cut when subtree count <= P_CAP. Subtree ranges are
+    # contiguous by construction (in-place partition builder).
+    def subtree_range(ref):
+        # (start, count) via leftmost/rightmost descent
+        lo_ref = ref
+        while lo_ref >= 0:
+            lo_ref = child2[lo_ref, 0]
+        start = leaf_range(lo_ref)[0]
+        hi_ref = ref
+        while hi_ref >= 0:
+            hi_ref = child2[hi_ref, 1]
+        s, c = leaf_range(hi_ref)
+        return start, s + c - start
+
+    # compute counts bottom-up without recursion: nodes are created
+    # parent-before-child, so a reverse sweep sees children first
+    n2 = child2.shape[0]
+    counts = np.zeros(n2, np.int64)
+    for i in range(n2 - 1, -1, -1):
+        c = 0
+        for k in (0, 1):
+            r = child2[i, k]
+            if r >= 0:
+                c += counts[r]
+            else:
+                c += leaf_range(r)[1]
+        counts[i] = c
+
+    stack = [root_ref]
+    while stack:
+        ref = stack.pop()
+        if ref < 0:
+            s, c = leaf_range(ref)
+            ranges.append((s, c))
+            continue
+        if counts[ref] <= P_CAP:
+            s, c = subtree_range(ref)
+            ranges.append((s, c))
+            continue
+        stack.append(child2[ref, 0])
+        stack.append(child2[ref, 1])
+    ranges.sort()
+    return np.asarray(ranges, np.int64), order
+
+
+def build_treelet_scene(v0, v1, v2, prim_ids, fan: int = 40) -> TreeletSceneNP:
+    """Build the full two-level treelet scene from host triangle arrays.
+
+    prim_ids: (T,) global prim ids carried into leaf slots (original
+    scene prim numbering, so hits need no remap)."""
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    T = v0.shape[0]
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+
+    ranges, order = _cut_ranges(lo, hi)
+    # intra-treelet spatial order (morton) so leaf-pairing and the
+    # implicit quartering see coherent prims (the coarse SAH cut leaves
+    # the within-leaf order arbitrary)
+    cent = 0.5 * (lo + hi)
+    code = _morton_np(cent[order], cent.min(0), cent.max(0))
+    tre_of = np.zeros(T, np.int64)
+    for t, (s, c) in enumerate(ranges):
+        tre_of[s:s + c] = t
+    perm = np.lexsort((code, tre_of))
+    order = order[perm]
+
+    Ntr = ranges.shape[0]
+    M = -(-Ntr // fan)
+    Ntr_pad = M * fan
+
+    # gather prims per treelet into an (Ntr_pad, P_CAP) id grid (-1 = pad)
+    grid = np.full((Ntr_pad, P_CAP), -1, np.int64)
+    for t, (s, c) in enumerate(ranges):
+        grid[t, :c] = order[s:s + c]
+    gv = grid.reshape(-1)
+    pad = gv < 0
+    gsafe = np.where(pad, 0, gv)
+
+    def take(a, fill):
+        out = a[gsafe].astype(np.float32)
+        out[pad] = fill
+        return out.reshape(Ntr_pad, P_CAP, -1)
+
+    tv0 = take(v0, np.nan)
+    tv1 = take(v1, np.nan)
+    tv2 = take(v2, np.nan)
+    tlo = take(lo, np.inf)
+    thi = take(hi, -np.inf)
+    tpid = np.where(pad, -1.0,
+                    prim_ids[gsafe].astype(np.float32)).reshape(Ntr_pad, P_CAP)
+
+    # --- implicit complete BVH4 bounds (vectorized over all treelets) ---
+    pair_lo = tlo.reshape(Ntr_pad, N_PAIRS, 2, 3).min(2)   # (N,128,3)
+    pair_hi = thi.reshape(Ntr_pad, N_PAIRS, 2, 3).max(2)
+    # L3: 64 nodes, children = pairs (2j, 2j+1), slots c>=2 empty
+    l3_lo = np.full((Ntr_pad, 64, 4, 3), np.inf, np.float32)
+    l3_hi = np.full((Ntr_pad, 64, 4, 3), -np.inf, np.float32)
+    l3_lo[:, :, :2] = pair_lo.reshape(Ntr_pad, 64, 2, 3)
+    l3_hi[:, :, :2] = pair_hi.reshape(Ntr_pad, 64, 2, 3)
+    lvl_lo = [l3_lo]
+    lvl_hi = [l3_hi]
+    for sz in (16, 4, 1):   # L2, L1, L0
+        cl = lvl_lo[-1].min(2).reshape(Ntr_pad, sz, 4, 3)
+        ch = lvl_hi[-1].max(2).reshape(Ntr_pad, sz, 4, 3)
+        lvl_lo.append(cl)
+        lvl_hi.append(ch)
+    node_lo = np.concatenate([lvl_lo[3], lvl_lo[2], lvl_lo[1], lvl_lo[0]],
+                             axis=1)  # (N, 85, 4, 3) order L0,L1,L2,L3
+    node_hi = np.concatenate([lvl_hi[3], lvl_hi[2], lvl_hi[1], lvl_hi[0]],
+                             axis=1)
+
+    # --- block packing ---
+    blocks = np.zeros((Ntr_pad, 2 * F_FIELDS, 128), np.float32)
+    # chunk 0 (even rows): node fields at lanes 0..84
+    for a in range(3):
+        for c in range(4):
+            blocks[:, 2 * (a * 4 + c), :N_INNER] = node_lo[:, :, c, a]
+            blocks[:, 2 * ((3 + a) * 4 + c), :N_INNER] = node_hi[:, :, c, a]
+    # chunk 1 (odd rows): leaf pair fields
+    e1a = tv0 - tv1
+    e2a = tv2 - tv0
+    ng = np.cross(e2a, e1a)
+    trif = np.concatenate([tv0, e1a, e2a, ng], axis=-1)  # (N, P_CAP, 12)
+    trif = np.nan_to_num(trif, nan=0.0)
+    # degenerate pad prims: Ng=0 -> den=0 -> never hits
+    pairs = trif.reshape(Ntr_pad, N_PAIRS, 2, 12)
+    for f in range(12):
+        blocks[:, 2 * f + 1, :] = pairs[:, :, 0, f].reshape(Ntr_pad, 128)
+        blocks[:, 2 * (12 + f) + 1, :] = pairs[:, :, 1, f].reshape(Ntr_pad,
+                                                                   128)
+    pidp = tpid.reshape(Ntr_pad, N_PAIRS, 2)
+    blocks[:, 2 * 24 + 1, :] = pidp[:, :, 0]
+    blocks[:, 2 * 25 + 1, :] = pidp[:, :, 1]
+
+    # --- treelet root boxes + mid boxes ---
+    t_lo = node_lo.reshape(Ntr_pad, -1, 3).min(1)
+    t_hi = node_hi.reshape(Ntr_pad, -1, 3).max(1)
+    t_lo = np.where(np.isfinite(t_lo), t_lo, np.inf)
+    t_hi = np.where(np.isfinite(t_hi), t_hi, -np.inf)
+    mid_lo = t_lo.reshape(M, fan, 3).min(1)
+    mid_hi = t_hi.reshape(M, fan, 3).max(1)
+    mid_boxes = np.concatenate([mid_lo, mid_hi], axis=1).astype(np.float32)
+
+    tre_boxes = np.zeros((M, 6, fan), np.float32)
+    tb = np.concatenate([t_lo, t_hi], axis=1)  # (Ntr_pad, 6)
+    tre_boxes[:, :, :] = tb.reshape(M, fan, 6).transpose(0, 2, 1)
+
+    return TreeletSceneNP(blocks=blocks, mid_boxes=mid_boxes,
+                          tre_boxes=tre_boxes, fan=fan, num_mids=M,
+                          num_treelets=Ntr_pad, num_prims=T)

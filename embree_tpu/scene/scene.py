@@ -69,11 +69,13 @@ class CommittedScene:
 
     _CHILDREN = ("bvh", "tris", "pallas", "compressed", "compressed_pallas",
                  "instances", "user_bvhs", "mb", "world_lower", "world_upper",
-                 "prim_mask")
+                 "prim_mask", "rowtrace")
 
     def __init__(self, bvh, tris, pallas, compressed, compressed_pallas,
                  world_lower, world_upper, instances=(), user_bvhs=(),
-                 users=(), mb=None, prim_mask=None, backface_cull=False):
+                 users=(), mb=None, prim_mask=None, backface_cull=False,
+                 rowtrace=None):
+        self.rowtrace = rowtrace    # Optional[TreeletScene] (per-lane path)
         self.bvh = bvh
         self.tris = tris
         self.pallas = pallas
@@ -108,6 +110,14 @@ class CommittedScene:
 
 def _as_np_f32(a):
     return np.asarray(a, np.float32)
+
+
+# Per-lane treelet path thresholds: build the treelet accel for scenes at
+# or above reference benchmark scale (verify.cpp:4473 uses 1M prims) and
+# route only large eager batches through it (small batches do not amortize
+# the round loop's sort/dispatch overhead).
+ROWTRACE_MIN_PRIMS = 100_000
+ROWTRACE_MIN_RAYS = 65_536
 
 
 class Scene:
@@ -306,11 +316,23 @@ class Scene:
         # (device pullbacks are slow over axon); big scenes keep their
         # tables in HBM (row DMAs reach both memory spaces)
         pallas_scene = None
+        rowtrace = None
         if lower.shape[0]:
             from ..traverse.pallas_packet import pack_scene
             with profile_phase("scene.pack_pallas"):
                 pallas_scene = pack_scene(bvh_np, tris,
                                           host_tris=(v0, v1, v2))
+            # per-lane treelet accel (traverse/rowtrace.py) — the
+            # incoherent-ray fast path for reference-scale triangle
+            # scenes (verify.cpp:4473's 1M-prim benchmark shape)
+            nprims = lower.shape[0]
+            if (nprims >= ROWTRACE_MIN_PRIMS
+                    or ta.endswith(".rowtrace")) and not ta.endswith(".packet"):
+                from ..build.treelets import build_treelet_scene, choose_fan
+                with profile_phase("scene.build_treelets"):
+                    rowtrace = build_treelet_scene(
+                        v0, v1, v2, np.arange(nprims, dtype=np.int64),
+                        fan=choose_fan(nprims)).to_device()
 
         # compressed subdiv accel (fork modes, scene.cpp:507-510)
         compressed = None
@@ -350,6 +372,7 @@ class Scene:
             mb = self._build_mb(mb_geoms)
 
         self.committed = CommittedScene(bvh=bvh, tris=tris, pallas=pallas_scene,
+                                        rowtrace=rowtrace,
                                         compressed=compressed,
                                         compressed_pallas=compressed_pallas,
                                         world_lower=wl, world_upper=wu,
@@ -554,6 +577,25 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
 
     shape = rays.batch_shape
     R = int(np.prod(shape)) if shape else 1
+    # Per-lane treelet path (traverse/rowtrace.py): the incoherent-ray
+    # fast path at reference benchmark scale. Its round loop hosts-syncs
+    # (sort/compact/dispatch), so it only serves concrete (eager) calls —
+    # traced calls fall through to the packet megakernel.
+    if (not _sorted and not coherent and R >= ROWTRACE_MIN_RAYS
+            and cs.rowtrace is not None and _use_pallas(cs, isa)
+            and filter_fn is None and ray_mask is None and time is None
+            and cs.compressed is None and cs.mb is None
+            and not cs.users and not cs.instances
+            and not isinstance(rays.org, jax.core.Tracer)):
+        from ..traverse.packet import _finalize_hits
+        from ..traverse.rowtrace import intersect_rowtrace
+        flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
+                    rays.tnear.reshape(-1), rays.tfar.reshape(-1))
+        t_u, prim_u = intersect_rowtrace(cs.rowtrace, flat,
+                                         cull=cs.backface_cull,
+                                         interpret=_pallas_interpret())
+        h = _finalize_hits(cs.tris, flat, t_u, prim_u)
+        return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), h)
     # RTC_INTERSECT_CONTEXT_FLAG_COHERENT analog: callers tracing already-
     # coherent rays (primary/camera) skip the stream sort+unsort entirely
     if (not _sorted and not coherent and R >= 8192
@@ -694,11 +736,24 @@ def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
                    coherent: bool = False, ray_mask=None) -> jnp.ndarray:
     shape = rays.batch_shape
     R = int(np.prod(shape)) if shape else 1
+    import jax
+    if (not _sorted and not coherent and R >= ROWTRACE_MIN_RAYS
+            and cs.rowtrace is not None and _use_pallas(cs, isa)
+            and ray_mask is None
+            and cs.compressed is None and cs.mb is None
+            and not cs.users and not cs.instances
+            and not isinstance(rays.org, jax.core.Tracer)):
+        from ..traverse.rowtrace import intersect_rowtrace
+        flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
+                    rays.tnear.reshape(-1), rays.tfar.reshape(-1))
+        t_u, _ = intersect_rowtrace(cs.rowtrace, flat, occluded=True,
+                                    cull=cs.backface_cull,
+                                    interpret=_pallas_interpret())
+        return (t_u == -np.inf).reshape(shape)
     # RTC_INTERSECT_CONTEXT_FLAG_COHERENT analog: callers tracing already-
     # coherent rays (primary/camera) skip the stream sort+unsort entirely
     if (not _sorted and not coherent and R >= 8192
             and (_use_pallas(cs, isa) or _compressed_use_pallas(cs, isa))):
-        import jax
         from ..traverse.stream import sort_rays_stream, unsort_one
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))

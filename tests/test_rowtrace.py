@@ -1,0 +1,114 @@
+"""Per-lane treelet traversal (traverse/rowtrace.py) vs XLA reference.
+
+Validates the exact kernel logic (interpret mode on CPU) that ships to
+hardware as the incoherent-ray fast path, including the iterative-
+deepening round loop, cursor semantics (lex (entry, id) restarts), and
+the implicit-BVH4 treelet encoding (build/treelets.py)."""
+import numpy as np
+import pytest
+
+import embree_tpu as et
+from embree_tpu.build.treelets import P_CAP, build_treelet_scene
+from embree_tpu.traverse.rowtrace import intersect_rowtrace
+from embree_tpu.verify.fixtures import random_triangles, triangle_sphere
+
+
+def _ref_hits(verts, idx, rays):
+    dev = et.Device("ignore_config_files=1")
+    scene = et.Scene(dev)
+    scene.attach(et.TriangleMesh(verts, idx))
+    cs = scene.commit()
+    return et.scene_intersect(cs, rays, isa="xla")
+
+
+def _treelets(verts, idx, fan=8):
+    v = np.asarray(verts, np.float32)
+    i = np.asarray(idx)
+    v0, v1, v2 = v[i[:, 0]], v[i[:, 1]], v[i[:, 2]]
+    ts = build_treelet_scene(v0, v1, v2, np.arange(len(i)), fan=fan)
+    return ts.to_device()
+
+
+@pytest.mark.parametrize("ntri,nray,fan", [
+    (40, 200, 4),          # single treelet
+    (700, 300, 4),         # several treelets, one+ mids
+    (1500, 500, 8),        # multiple mids
+])
+def test_rowtrace_matches_xla(rng, ntri, nray, fan):
+    verts, idx = random_triangles(rng, ntri, extent=5.0, size=1.2)
+    org = rng.uniform(-8, 8, (nray, 3)).astype(np.float32)
+    d = rng.normal(size=(nray, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = et.make_rays(org, d)
+
+    ref = _ref_hits(verts, idx, rays)
+    ts = _treelets(verts, idx, fan=fan)
+    assert ts.num_treelets >= 1
+    t, prim = intersect_rowtrace(ts, rays, interpret=True)
+
+    valid = np.asarray(prim) >= 0
+    np.testing.assert_array_equal(valid, np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5)
+    # prim ids may differ only where two prims tie on t
+    pm = np.asarray(prim)[m] == np.asarray(ref.prim_id)[m]
+    if not pm.all():
+        tt = np.asarray(t)[m][~pm]
+        rt = np.asarray(ref.t)[m][~pm]
+        np.testing.assert_allclose(tt, rt, rtol=1e-5)
+
+
+def test_rowtrace_sphere_inside_origins(rng):
+    """Origins inside the mesh + many treelet crossings (the bench
+    shape, scaled down)."""
+    verts, idx = triangle_sphere((0, 0, 0), 2.0, 24)   # ~1.1k tris
+    org = rng.uniform(-3, 3, (800, 3)).astype(np.float32)
+    d = rng.normal(size=(800, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = et.make_rays(org, d)
+
+    ref = _ref_hits(verts, idx, rays)
+    ts = _treelets(verts, idx, fan=4)
+    t, prim = intersect_rowtrace(ts, rays, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(prim) >= 0,
+                                  np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5)
+
+
+def test_rowtrace_occluded(rng):
+    verts, idx = triangle_sphere((0, 0, 0), 2.0, 16)
+    org = rng.uniform(-3, 3, (400, 3)).astype(np.float32)
+    d = rng.normal(size=(400, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = et.make_rays(org, d)
+
+    dev = et.Device("ignore_config_files=1")
+    scene = et.Scene(dev)
+    scene.attach(et.TriangleMesh(verts, idx))
+    cs = scene.commit()
+    ref = et.scene_occluded(cs, rays, isa="xla")
+
+    ts = _treelets(verts, idx, fan=4)
+    t, _ = intersect_rowtrace(ts, rays, occluded=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t) == -np.inf, np.asarray(ref))
+
+
+def test_treelet_build_shapes(rng):
+    verts, idx = random_triangles(rng, 1000, extent=4.0)
+    v = np.asarray(verts, np.float32)
+    i = np.asarray(idx)
+    ts = build_treelet_scene(v[i[:, 0]], v[i[:, 1]], v[i[:, 2]],
+                             np.arange(len(i)), fan=8)
+    assert ts.blocks.shape[1:] == (52, 128)
+    assert ts.num_treelets == ts.num_mids * 8
+    assert ts.num_treelets * P_CAP >= 1000
+    # every real prim id appears exactly once in the leaf pid planes
+    pids = np.concatenate([ts.blocks[:, 49, :].ravel(),
+                           ts.blocks[:, 51, :].ravel()])
+    pids = pids[pids >= 0].astype(np.int64)
+    assert len(pids) == 1000
+    assert len(np.unique(pids)) == 1000

@@ -283,9 +283,13 @@ def build_treelet_scene(v0, v1, v2, prim_ids, fan: int = 40) -> TreeletSceneNP:
     mid_hi = t_hi.reshape(M, fan, 3).max(1)
     mid_boxes = np.concatenate([mid_lo, mid_hi], axis=1).astype(np.float32)
 
-    tre_boxes = np.zeros((M, 6, fan), np.float32)
+    # fan-padded to 128 lanes (Mosaic DMA slices must be lane-aligned);
+    # pad boxes are +inf/-inf so they never become candidates
+    tre_boxes = np.empty((M, 6, 128), np.float32)
+    tre_boxes[:, :3, :] = np.inf
+    tre_boxes[:, 3:, :] = -np.inf
     tb = np.concatenate([t_lo, t_hi], axis=1)  # (Ntr_pad, 6)
-    tre_boxes[:, :, :] = tb.reshape(M, fan, 6).transpose(0, 2, 1)
+    tre_boxes[:, :, :fan] = tb.reshape(M, fan, 6).transpose(0, 2, 1)
 
     return TreeletSceneNP(blocks=blocks, mid_boxes=mid_boxes,
                           tre_boxes=tre_boxes, fan=fan, num_mids=M,

@@ -136,6 +136,7 @@ class Scene:
         self.subdiv_eval = {}  # gid -> SubdivEval (compressed mode)
         self.subdiv_plan = {}  # gid -> SubdivisionPlan (attr interpolation)
         self._attr_cache = {}  # (gid, slot) -> refined attribute array
+        self._patch_tables = {}  # gid -> (PatchTable, verts_iso)
         # intersection-filter callback (rtcSetGeometryIntersectFilterFunction
         # analog, scene-level): fn(org, dir, t, u, v, ng, geom, prim) -> keep
         self.intersection_filter = None
@@ -340,6 +341,7 @@ class Scene:
         self.subdiv_eval = {}
         self.subdiv_plan = {}
         self._attr_cache = {}
+        self._patch_tables = {}
         if subdiv_compressed:
             from .subdiv_accel import build_compressed_accel
             (compressed, self.subdiv_eval, self.subdiv_plan, clo,
@@ -462,7 +464,8 @@ class Scene:
         return scene_occluded(cs, rays, isa=self.device.state.isa,
                               ray_mask=mask)
 
-    def interpolate(self, geom_id: int, prim_id, u, v, slot=None):
+    def interpolate(self, geom_id: int, prim_id, u, v, slot=None,
+                    derivatives: bool = False):
         """rtcInterpolate analog: position + smooth normal at
         (prim, u, v) (rtcore.cpp interpolate path; smooth shading of
         compressed hits, viewer_device.cpp:284-295; vertex-attribute
@@ -471,9 +474,17 @@ class Scene:
         slot=None interpolates positions and returns (P, N); slot=k
         interpolates vertex_attributes[k] and returns the attribute
         value (for subdiv, smoothed through the same subdivision
-        stencils the limit surface uses)."""
+        stencils the limit surface uses).
+
+        derivatives=True returns the full rtcInterpolate derivative set
+        (rtcore_geometry.h:234-338) as a dict {P, dPdu, dPdv, ddPdudu,
+        ddPdvdv, ddPdudv, Ng}; for subdiv geometries these are ANALYTIC
+        limit-surface derivatives (B-spline / feature-adaptive patches,
+        subdiv/patches.py — bspline_patch.h:503, patch.h:51-78)."""
         from .geometry import QuadMesh, SubdivMesh, TriangleMesh
         g = self.geometries.get(geom_id)
+        if derivatives:
+            return self._interpolate_derivs(g, geom_id, prim_id, u, v)
         if isinstance(g, TriangleMesh):
             arr = jnp.asarray(g.vertices if slot is None
                               else g.vertex_attributes[slot], jnp.float32)
@@ -533,6 +544,70 @@ class Scene:
                 np.asarray(g.vertex_attributes[slot], np.float32)))
             self._attr_cache[key] = refined
         return grid_sample(ev, prim_id, u, v, refined)
+
+    def _interpolate_derivs(self, g, geom_id, prim_id, u, v):
+        """Full-derivative rtcInterpolate (rtcore_geometry.h:234-338)."""
+        from .geometry import QuadMesh, SubdivMesh, TriangleMesh
+        prim_id = jnp.asarray(prim_id)
+        u = jnp.asarray(u, jnp.float32)
+        v = jnp.asarray(v, jnp.float32)
+        if isinstance(g, TriangleMesh):
+            arr = jnp.asarray(g.vertices, jnp.float32)
+            idx = jnp.asarray(g.indices)[prim_id]
+            p0, p1, p2 = arr[idx[..., 0]], arr[idx[..., 1]], arr[idx[..., 2]]
+            P = ((1.0 - u - v)[..., None] * p0 + u[..., None] * p1
+                 + v[..., None] * p2)
+            du = p1 - p0
+            dv = p2 - p0
+            z = jnp.zeros_like(P)
+            ng = jnp.cross(du, dv)
+            ng = ng / jnp.maximum(
+                jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            return {"P": P, "dPdu": du, "dPdv": dv, "ddPdudu": z,
+                    "ddPdvdv": z, "ddPdudv": z, "Ng": ng}
+        if isinstance(g, QuadMesh):
+            arr = jnp.asarray(g.vertices, jnp.float32)
+            idx = jnp.asarray(g.indices)[prim_id]
+            p0, p1, p2, p3 = (arr[idx[..., 0]], arr[idx[..., 1]],
+                              arr[idx[..., 2]], arr[idx[..., 3]])
+            uu = u[..., None]
+            vv = v[..., None]
+            P = ((1 - uu) * (1 - vv) * p0 + uu * (1 - vv) * p1
+                 + uu * vv * p2 + (1 - uu) * vv * p3)
+            du = (1 - vv) * (p1 - p0) + vv * (p2 - p3)
+            dv = (1 - uu) * (p3 - p0) + uu * (p2 - p1)
+            z = jnp.zeros_like(P)
+            ng = jnp.cross(du, dv)
+            ng = ng / jnp.maximum(
+                jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            return {"P": P, "dPdu": du, "dPdv": dv, "ddPdudu": z,
+                    "ddPdvdv": z, "ddPdudv": jnp.zeros_like(P), "Ng": ng}
+        if not isinstance(g, SubdivMesh):
+            self.device.raise_error(Error.INVALID_ARGUMENT,
+                                    f"geom {geom_id} not interpolatable")
+        pt, verts_iso = self._patch_table(g, geom_id)
+        from ..subdiv.patches import eval_patch_table
+        return eval_patch_table(pt, verts_iso, prim_id, u, v)
+
+    def _patch_table(self, g, geom_id):
+        """Lazily build (and cache) the analytic patch table + iso-level
+        control vertices for a SubdivMesh."""
+        ent = self._patch_tables.get(geom_id)
+        if ent is None:
+            from ..subdiv.patches import build_patch_table
+            nv = int(np.asarray(g.vertices).shape[0])
+            pt = build_patch_table(
+                g.face_counts, g.face_indices, nv,
+                edge_creases=g.edge_creases,
+                edge_crease_weights=g.edge_crease_weights,
+                vertex_creases=g.vertex_creases,
+                vertex_crease_weights=g.vertex_crease_weights)
+            from ..subdiv.core import evaluate_plan
+            verts_iso = jnp.asarray(evaluate_plan(
+                pt.plan, np.asarray(g.vertices, np.float32)))
+            ent = (pt, verts_iso)
+            self._patch_tables[geom_id] = ent
+        return ent
 
     @property
     def bounds(self):

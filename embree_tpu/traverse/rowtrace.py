@@ -81,8 +81,7 @@ def _rowtrace_kernel(fan: int, occluded: bool, cull: bool = False):
             pltpu.make_async_copy(blocks.at[tidp[pid * 8 + r]],
                                   stage.at[r], sem1.at[r]).start()
             pltpu.make_async_copy(tre.at[midp[pid * 8 + r]],
-                                  midstage.at[r, :, 0:fan],
-                                  sem2.at[r]).start()
+                                  midstage.at[r], sem2.at[r]).start()
 
         max_iters = params[0]
         o_x, o_y, o_z = ox[:], oy[:], oz[:]
@@ -101,8 +100,7 @@ def _rowtrace_kernel(fan: int, occluded: bool, cull: bool = False):
             pltpu.make_async_copy(blocks.at[tidp[pid * 8 + r]],
                                   stage.at[r], sem1.at[r]).wait()
             pltpu.make_async_copy(tre.at[midp[pid * 8 + r]],
-                                  midstage.at[r, :, 0:fan],
-                                  sem2.at[r]).wait()
+                                  midstage.at[r], sem2.at[r]).wait()
 
         def fetch(cur):
             """Per-lane fetch of all F_FIELDS slot fields (chunk 0 =

@@ -375,6 +375,115 @@ def evaluate_plan(plan: SubdivisionPlan, base_vertices, use_jax: bool = False):
     return v
 
 
+def limit_stencil(plan: SubdivisionPlan):
+    """Sparse (rows, cols, w) stencil with limit_verts = scatter-add of
+    w * verts[cols] into rows — the same rules as limit_project but as a
+    topology-only linear operator, so the projection can run under jax
+    (differentiable w.r.t. vertices; the differentiable-commit path)."""
+    quads = plan.final_quads
+    V = plan.num_final_vertices
+    n_faces = np.zeros(V, np.int64)
+    for c in range(4):
+        np.add.at(n_faces, quads[:, c], 1)
+    n = np.maximum(n_faces, 1).astype(np.float64)
+
+    rows, cols, ws = [], [], []
+    inv = 1.0 / ((n + 5.0) * n)
+    for c in range(4):
+        a = quads[:, c]
+        b = quads[:, (c + 1) % 4]
+        d = quads[:, (c + 3) % 4]
+        diag = quads[:, (c + 2) % 4]
+        # E_sum entries are halved (counted once per adjacent quad)
+        for col, wgt in ((b, 2.0), (d, 2.0), (diag, 1.0)):
+            rows.append(a)
+            cols.append(col)
+            ws.append(wgt * inv[a])
+    rows.append(np.arange(V))
+    cols.append(np.arange(V))
+    ws.append(n * n * inv)
+
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    ws = np.concatenate(ws)
+
+    # crease/corner rows override the interior stencil
+    fc = np.full(quads.shape[0], 4, np.int64)
+    fo = np.concatenate([[0], np.cumsum(fc)])
+    edges, edge_faces, _he = _build_edges(fc, fo, quads.reshape(-1))
+    boundary = edge_faces[:, 1] < 0
+    sharp = boundary.copy()
+    if plan.final_edge_creases is not None and len(plan.final_edge_creases):
+        ce = np.asarray(plan.final_edge_creases, np.int64)
+        cw = np.asarray(plan.final_edge_crease_weights, np.float32)
+        lo = np.minimum(ce[:, 0], ce[:, 1])
+        hi = np.maximum(ce[:, 0], ce[:, 1])
+        ckey = lo * (1 << 31) + hi
+        ekey = edges[:, 0] * (1 << 31) + edges[:, 1]
+        pos = np.searchsorted(ekey, ckey)
+        ok = pos < ekey.shape[0]
+        ok[ok] &= ekey[pos[ok]] == ckey[ok]
+        hard = ok & (cw >= 1.0)
+        sharp[pos[hard]] = True
+    n_sharp = np.bincount(edges[sharp].reshape(-1), minlength=V)
+    crease_v = n_sharp == 2
+    corner_v = n_sharp >= 3
+    corner_v |= (n_faces == 1) & (n_sharp >= 2)
+    crease_v &= ~corner_v
+    if plan.final_vertex_sharp is not None:
+        vs = np.asarray(plan.final_vertex_sharp, np.float32)[:V]
+        corner_v |= vs >= 1.0
+    special = crease_v | corner_v
+
+    keep = ~special[rows]
+    rows, cols, ws = rows[keep], cols[keep], ws[keep]
+    se = edges[sharp]
+    cr0, cc0, cw0 = [rows], [cols], [ws]
+    for a, b in ((se[:, 0], se[:, 1]), (se[:, 1], se[:, 0])):
+        m = crease_v[a]
+        cr0.append(a[m])
+        cc0.append(b[m])
+        cw0.append(np.full(m.sum(), 1.0 / 6.0))
+    ids = np.arange(V)
+    cr0.append(ids[crease_v])
+    cc0.append(ids[crease_v])
+    cw0.append(np.full(int(crease_v.sum()), 4.0 / 6.0))
+    cr0.append(ids[corner_v])
+    cc0.append(ids[corner_v])
+    cw0.append(np.ones(int(corner_v.sum())))
+    return (np.concatenate(cr0), np.concatenate(cc0),
+            np.concatenate(cw0).astype(np.float32))
+
+
+def apply_limit_stencil(stencil, verts):
+    """Apply a limit_stencil under jax (or numpy)."""
+    rows, cols, w = stencil
+    import jax.numpy as jnp
+    if isinstance(verts, np.ndarray):
+        out = np.zeros_like(verts)
+        np.add.at(out, rows, w[:, None] * verts[cols])
+        return out
+    V = int(rows.max()) + 1 if len(rows) else 0
+    out = jnp.zeros((verts.shape[0], verts.shape[1]), verts.dtype)
+    return out.at[rows].add(w[:, None] * verts[cols])
+
+
+def vertex_normals_jnp(verts, quads: np.ndarray):
+    """Differentiable area-weighted vertex normals (jax twin of
+    tessellate.vertex_normals)."""
+    import jax.numpy as jnp
+    p0 = verts[quads[:, 0]]
+    p1 = verts[quads[:, 1]]
+    p2 = verts[quads[:, 2]]
+    p3 = verts[quads[:, 3]]
+    n = jnp.cross(p2 - p0, p3 - p1)
+    out = jnp.zeros_like(verts)
+    for k in range(4):
+        out = out.at[quads[:, k]].add(n)
+    ln = jnp.linalg.norm(out, axis=1, keepdims=True)
+    return out / jnp.maximum(ln, 1e-20)
+
+
 def limit_project(plan: SubdivisionPlan, verts: np.ndarray) -> np.ndarray:
     """Push the final subdivided vertices to their LIMIT positions
     (catmullclark_ring.h getLimitVertex :373-400):

@@ -119,8 +119,9 @@ def _rowtrace_kernel(fan: int, occluded: bool, cull: bool = False):
         zero_i = jnp.zeros_like(t_in[:], jnp.int32)
 
         def step(carry):
-            cur, sp, t, prim, alive, iters = carry[:6]
+            cur, sp, t, prim, alive_i, iters = carry[:6]
             stack = list(carry[6:])
+            alive = alive_i != 0
             vals = fetch(cur)
             is_leaf = cur >= LEAF_BASE
 
@@ -194,14 +195,16 @@ def _rowtrace_kernel(fan: int, occluded: bool, cull: bool = False):
                             jnp.where(near_hit & ~need_pop, cids[0], cur))
             sp = spm
             alive = alive & (~need_pop | can_pop)
-            return tuple([cur, sp, t, prim, alive, iters + 1] + stack)
+            return tuple([cur, sp, t, prim, alive.astype(jnp.int32),
+                          iters + 1] + stack)
 
         def cond(carry):
-            alive, iters = carry[4], carry[5]
-            return jnp.any(alive) & (iters < max_iters)
+            alive_i, iters = carry[4], carry[5]
+            return jnp.any(alive_i != 0) & (iters < max_iters)
 
         init = tuple([jnp.where(run_trav, 0, -1).astype(jnp.int32), zero_i,
-                      t_in[:], prim_in[:], run_trav, jnp.int32(0)]
+                      t_in[:], prim_in[:], run_trav.astype(jnp.int32),
+                      jnp.int32(0)]
                      + [zero_i] * D_STACK)
         out = jax.lax.while_loop(cond, step, init)
         t, prim = out[2], out[3]

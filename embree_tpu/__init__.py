@@ -22,7 +22,8 @@ from .core.device import Device, Error, RaytracerError
 from .core.rayhit import Hits, INVALID_ID, Rays, make_rays, miss_hits
 from .scene.curves import BezierCurves, BSplineCurves, LineSegments
 from .scene.geometry import (Geometry, Instance, QuadMesh, SubdivMesh,
-                             TriangleMesh, TriangleMeshMB, UserGeometry)
+                             SubdivMeshMB, TriangleMesh, TriangleMeshMB,
+                             UserGeometry)
 from .scene.scene import (BuildQuality, CommittedScene, Scene, scene_intersect,
                           scene_occluded)
 
@@ -33,7 +34,7 @@ __all__ = [
     "Rays", "Hits", "make_rays", "miss_hits", "INVALID_ID",
     "Geometry", "TriangleMesh", "QuadMesh", "SubdivMesh", "Instance",
     "UserGeometry", "LineSegments", "BezierCurves", "BSplineCurves",
-    "TriangleMeshMB",
+    "TriangleMeshMB", "SubdivMeshMB",
     "Scene", "BuildQuality", "CommittedScene",
     "scene_intersect", "scene_occluded",
 ]

@@ -139,15 +139,69 @@ class UserGeometry(Geometry):
 
 
 class TriangleMeshMB(Geometry):
-    """Two-timestep motion-blur triangle mesh (RTC_GEOMETRY_TYPE_TRIANGLE
-    with 2 vertex timesteps; scene_triangle_mesh MB variants)."""
+    """Motion-blur triangle mesh with N >= 2 vertex timesteps
+    (RTC_GEOMETRY_TYPE_TRIANGLE with rtcSetGeometryTimeStepCount;
+    multi-segment per bvh_builder_msmblur.h). The 2-argument form keeps
+    the old linear-motion API; pass `timesteps=[v_t0, v_t1, ...]` for
+    multi-segment motion."""
 
-    def __init__(self, vertices_begin, vertices_end, indices):
+    def __init__(self, vertices_begin=None, vertices_end=None, indices=None,
+                 timesteps=None):
         super().__init__()
-        self.vertices_begin = vertices_begin
-        self.vertices_end = vertices_end
+        if timesteps is not None:
+            self.vertex_timesteps = [np.asarray(v, np.float32)
+                                     for v in timesteps]
+            assert len(self.vertex_timesteps) >= 2
+        else:
+            self.vertex_timesteps = [np.asarray(vertices_begin, np.float32),
+                                     np.asarray(vertices_end, np.float32)]
         self.indices = np.asarray(indices, np.int32)
+
+    @property
+    def vertices_begin(self):
+        return self.vertex_timesteps[0]
+
+    @property
+    def vertices_end(self):
+        return self.vertex_timesteps[-1]
 
     @property
     def num_prims(self) -> int:
         return int(self.indices.shape[0])
+
+
+class SubdivMeshMB(Geometry):
+    """Motion-blur Catmull-Clark subdivision mesh: N >= 2 cage-vertex
+    timesteps over one topology (the reference's subdiv MB,
+    verify.cpp:4367-4416 watertight `_subdiv ... MB` groups). Commit
+    tessellates every timestep with the shared refinement plan; the
+    triangle soups feed the multi-segment MB accel."""
+
+    def __init__(self, vertices_begin=None, vertices_end=None,
+                 face_counts=None, face_indices=None, timesteps=None,
+                 edge_creases=None, edge_crease_weights=None,
+                 vertex_creases=None, vertex_crease_weights=None,
+                 displacement=None):
+        super().__init__()
+        if timesteps is not None:
+            self.vertex_timesteps = [np.asarray(v, np.float32)
+                                     for v in timesteps]
+        else:
+            self.vertex_timesteps = [np.asarray(vertices_begin, np.float32),
+                                     np.asarray(vertices_end, np.float32)]
+        self.face_counts = np.asarray(face_counts, np.int64)
+        self.face_indices = np.asarray(face_indices, np.int64)
+        self.edge_creases = edge_creases
+        self.edge_crease_weights = edge_crease_weights
+        self.vertex_creases = vertex_creases
+        self.vertex_crease_weights = vertex_crease_weights
+        self.displacement = displacement
+        self.vertex_attributes = []
+
+    @property
+    def vertices(self):
+        return self.vertex_timesteps[0]
+
+    @property
+    def num_prims(self) -> int:
+        return int(self.face_counts.shape[0])

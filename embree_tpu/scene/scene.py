@@ -30,7 +30,8 @@ from ..build.sah import BuildSettings, build_sah
 from ..core.device import Device, Error
 from ..core.rayhit import Hits, Rays
 from ..scene.geometry import (Geometry, Instance, QuadMesh, SubdivMesh,
-                              TriangleMesh, TriangleMeshMB, UserGeometry)
+                              SubdivMeshMB, TriangleMesh, TriangleMeshMB,
+                              UserGeometry)
 from ..scene.curves import BezierCurves, BSplineCurves, LineSegments
 from ..scene.prims import TrianglePrims, empty_triangle_prims, prim_bounds_np
 from ..traverse.packet import (intersect_chunked, intersect_packet,
@@ -233,7 +234,7 @@ class Scene:
                     tri_geom.append(np.full(v0.shape[0], gid, np.int32))
                     tri_prim.append(prim.astype(np.int32))
                     tri_flip.append(np.zeros(v0.shape[0], np.int32))
-            elif isinstance(g, TriangleMeshMB):
+            elif isinstance(g, (TriangleMeshMB, SubdivMeshMB)):
                 mb_geoms.append((gid, g))
             elif isinstance(g, Instance):
                 child_cs = g.child_scene.committed
@@ -392,37 +393,104 @@ class Scene:
             global_profiler().print("  profile ")
         return self.committed
 
+    def _mb_timestep_soups(self, g):
+        """Per-timestep (v0, v1, v2, prim) triangle soups of one MB
+        geometry (triangle MB directly; subdiv MB tessellates every cage
+        timestep through the shared plan)."""
+        if isinstance(g, TriangleMeshMB):
+            idx = g.indices
+            return [(v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]],
+                     np.arange(idx.shape[0], dtype=np.int32))
+                    for v in g.vertex_timesteps]
+        # SubdivMeshMB: tessellate each timestep (same topology/plan)
+        from ..subdiv.tessellate import tessellate_mesh_to_triangles
+
+        class _View:
+            pass
+
+        out = []
+        for v in g.vertex_timesteps:
+            m = _View()
+            m.vertices = v
+            m.face_counts = g.face_counts
+            m.face_indices = g.face_indices
+            m.edge_creases = g.edge_creases
+            m.edge_crease_weights = g.edge_crease_weights
+            m.vertex_creases = g.vertex_creases
+            m.vertex_crease_weights = g.vertex_crease_weights
+            m.displacement = g.displacement
+            v0, v1, v2, prim = tessellate_mesh_to_triangles(
+                m, self.subdivision_level)
+            out.append((v0, v1, v2, prim.astype(np.int32)))
+        return out
+
     def _build_mb(self, mb_geoms):
+        """Multi-segment MB accel (bvh_builder_msmblur.h analog): one
+        SAH build over all-timestep union bounds, then a refit per
+        timestep knot — exact linear bounds per uniform segment."""
         from ..build.refit import plan_refit, refit
         from ..traverse.mb import MBAccel
-        v00, v10, v20, v01, v11, v21 = [], [], [], [], [], []
+
+        S = max(len(g.vertex_timesteps) for _g, g in
+                [(None, g) for _gid, g in mb_geoms])
+        knots = np.linspace(0.0, 1.0, S)
+
+        per_ts = [[] for _ in range(S)]   # [(v0,v1,v2)] per timestep
         geoms, prims = [], []
         for gid, g in mb_geoms:
-            a = _as_np_f32(g.vertices_begin)
-            b = _as_np_f32(g.vertices_end)
-            idx = g.indices
-            v00.append(a[idx[:, 0]]); v10.append(a[idx[:, 1]]); v20.append(a[idx[:, 2]])
-            v01.append(b[idx[:, 0]]); v11.append(b[idx[:, 1]]); v21.append(b[idx[:, 2]])
-            geoms.append(np.full(idx.shape[0], gid, np.int32))
-            prims.append(np.arange(idx.shape[0], dtype=np.int32))
-        v00 = np.concatenate(v00); v10 = np.concatenate(v10); v20 = np.concatenate(v20)
-        v01 = np.concatenate(v01); v11 = np.concatenate(v11); v21 = np.concatenate(v21)
-        geom = np.concatenate(geoms); prim = np.concatenate(prims)
-        lo0, hi0 = prim_bounds_np(v00, v10, v20)
-        lo1, hi1 = prim_bounds_np(v01, v11, v21)
-        bvh_np = build_sah(np.minimum(lo0, lo1), np.maximum(hi0, hi1),
-                           BuildSettings(), backend=self.device.state.builder)
+            soups = self._mb_timestep_soups(g)
+            Sg = len(soups)
+            prims.append(soups[0][3])
+            geoms.append(np.full(soups[0][0].shape[0], gid, np.int32))
+            for s, tk in enumerate(knots):
+                # resample this geometry's piecewise-linear motion at the
+                # common knot (exact when knot grids align)
+                x = tk * (Sg - 1)
+                a = int(np.clip(np.floor(x), 0, Sg - 2))
+                w = np.float32(x - a)
+                tri = tuple((1 - w) * soups[a][k] + w * soups[a + 1][k]
+                            for k in range(3))
+                per_ts[s].append(tri)
+
+        geom = np.concatenate(geoms)
+        prim = np.concatenate(prims)
+        T = geom.shape[0]
+        v0_ts = np.stack([np.concatenate([t[0] for t in ts])
+                          for ts in per_ts])
+        v1_ts = np.stack([np.concatenate([t[1] for t in ts])
+                          for ts in per_ts])
+        v2_ts = np.stack([np.concatenate([t[2] for t in ts])
+                          for ts in per_ts])
+
+        lo_all = np.full((T, 3), np.inf, np.float32)
+        hi_all = np.full((T, 3), -np.inf, np.float32)
+        los, his = [], []
+        for s in range(S):
+            lo, hi = prim_bounds_np(v0_ts[s], v1_ts[s], v2_ts[s])
+            los.append(lo)
+            his.append(hi)
+            lo_all = np.minimum(lo_all, lo)
+            hi_all = np.maximum(hi_all, hi)
+        bvh_np = build_sah(lo_all, hi_all, BuildSettings(),
+                           backend=self.device.state.builder)
         bvh_u = bvh_np.to_device()
         sched = plan_refit(bvh_u)
-        bvh0 = refit(bvh_u, sched, jnp.asarray(lo0), jnp.asarray(hi0))
-        bvh1 = refit(bvh_u, sched, jnp.asarray(lo1), jnp.asarray(hi1))
-        flip = np.zeros(v00.shape[0], np.int32)
-        t0 = TrianglePrims(jnp.asarray(v00), jnp.asarray(v10), jnp.asarray(v20),
-                           jnp.asarray(geom), jnp.asarray(prim), jnp.asarray(flip))
-        t1 = TrianglePrims(jnp.asarray(v01), jnp.asarray(v11), jnp.asarray(v21),
-                           jnp.asarray(geom), jnp.asarray(prim), jnp.asarray(flip))
-        return MBAccel(bvh=bvh0, lower1=bvh1.lower, upper1=bvh1.upper,
-                       tris0=t0, tris1=t1)
+        lower_ts, upper_ts = [], []
+        bvh0 = None
+        for s in range(S):
+            b = refit(bvh_u, sched, jnp.asarray(los[s]), jnp.asarray(his[s]))
+            if s == 0:
+                bvh0 = b
+            lower_ts.append(b.lower)
+            upper_ts.append(b.upper)
+        return MBAccel(bvh=bvh0,
+                       lower_ts=jnp.stack(lower_ts),
+                       upper_ts=jnp.stack(upper_ts),
+                       v0_ts=jnp.asarray(v0_ts), v1_ts=jnp.asarray(v1_ts),
+                       v2_ts=jnp.asarray(v2_ts),
+                       geom_id=jnp.asarray(geom),
+                       prim_id=jnp.asarray(prim),
+                       uv_flip=jnp.zeros((T,), jnp.int32))
 
     def _progress(self, f: float) -> None:
         """Progress-monitor cancellation (scene.cpp:871-879)."""

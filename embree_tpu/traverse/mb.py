@@ -1,13 +1,18 @@
-"""Motion-blur accel + traversal (2-timestep linear motion).
+"""Multi-segment motion-blur accel + traversal (N-timestep piecewise-
+linear motion).
 
-Analog of the reference's MB stack (AlignedNodeMB nodes bvh.h:597, msmblur
-builders, MB triangle intersectors): geometry stores begin/end vertex
-positions, the BVH keeps per-node bounds for BOTH timesteps (built once
-over union bounds, then refit against each timestep — the lbbox analog),
-and traversal linearly interpolates node bounds and triangle vertices at
-the ray's time. The reference supports N timesteps with 4D time splits;
-two-timestep linear motion covers the tutorial/verify MB matrix
-(motion_blur_geometry) and is the common production case.
+Analog of the reference's MB stack (AlignedNodeMB bvh.h:597,
+AlignedNodeMB4D :837, bvh_builder_msmblur.h:587 multi-segment builder,
+MB triangle intersectors): geometry stores N >= 2 vertex timesteps, the
+BVH keeps per-node PER-TIMESTEP refit bounds (the lbbox-per-segment
+analog — each uniform segment gets exact linear bounds, which is what
+the reference's temporal splits buy for its non-uniform segments), and
+traversal interpolates node bounds and triangle vertices at the ray's
+time within its segment.
+
+Node tests are conservative over the ray batch's whole time range
+(union of the timestep knot boxes the range touches); leaf tests gather
+the per-ray segment's two knot meshes and lerp exactly.
 """
 from __future__ import annotations
 
@@ -22,15 +27,30 @@ from ..core.math import rcp_safe, ROBUST_MAX_RCP, ROBUST_MIN_RCP
 from ..core.rayhit import Hits, Rays
 from ..scene.prims import TrianglePrims
 from .moeller import intersect_triangle
-from .packet import _finalize_hits
 
 
 class MBAccel(NamedTuple):
-    bvh: BVH               # structure + bounds at t=0
-    lower1: jnp.ndarray    # (M, W, 3) bounds at t=1
-    upper1: jnp.ndarray
-    tris0: TrianglePrims
-    tris1: TrianglePrims
+    bvh: BVH                 # structure (bounds field = timestep 0)
+    lower_ts: jnp.ndarray    # (S, M, W, 3) per-timestep refit bounds
+    upper_ts: jnp.ndarray
+    v0_ts: jnp.ndarray       # (S, T, 3) triangle verts per timestep
+    v1_ts: jnp.ndarray
+    v2_ts: jnp.ndarray
+    geom_id: jnp.ndarray     # (T,)
+    prim_id: jnp.ndarray
+    uv_flip: jnp.ndarray
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.lower_ts.shape[0]
+
+
+def _seg_weights(tm, S):
+    """time in [0,1] -> (segment index, local weight) over S-1 uniform
+    segments."""
+    x = jnp.clip(tm, 0.0, 1.0) * (S - 1)
+    seg = jnp.clip(x.astype(jnp.int32), 0, S - 2)
+    return seg, x - seg
 
 
 @functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf"))
@@ -38,6 +58,7 @@ def intersect_mb(accel: MBAccel, rays: Rays, time,
                  stack_depth: int = 96, max_leaf: int = 8) -> Hits:
     """Closest hit at ray time in [0, 1]. `time` is (R,) or scalar."""
     bvh = accel.bvh
+    S = accel.num_timesteps
     org = rays.org.reshape(-1, 3)
     direction = rays.dir.reshape(-1, 3)
     tnear = rays.tnear.reshape(-1)
@@ -45,6 +66,7 @@ def intersect_mb(accel: MBAccel, rays: Rays, time,
     R = tnear.shape[0]
     tm = jnp.asarray(time, jnp.float32)
     tm = jnp.broadcast_to(tm.reshape(-1) if tm.ndim > 1 else tm, (R,))
+    seg, w = _seg_weights(tm, S)
 
     rdir = rcp_safe(direction)
     org_rdir = org * rdir
@@ -53,14 +75,19 @@ def intersect_mb(accel: MBAccel, rays: Rays, time,
     tmax_time = jnp.max(tm)
 
     def node_test(node, tcur):
-        # conservative per-packet interpolated bounds: the packet shares
-        # one stack, so use the union over the packet's time range
-        lo0, hi0 = bvh.lower[node], bvh.upper[node]
-        lo1, hi1 = accel.lower1[node], accel.upper1[node]
-        lo = jnp.minimum(lo0 * (1 - tmin_time) + lo1 * tmin_time,
-                         lo0 * (1 - tmax_time) + lo1 * tmax_time)
-        hi = jnp.maximum(hi0 * (1 - tmin_time) + hi1 * tmin_time,
-                         hi0 * (1 - tmax_time) + hi1 * tmax_time)
+        # conservative: union of every timestep knot box whose knot
+        # interval intersects the batch's time range (the batch shares
+        # one stack) — exact per-segment bounds via the refit knots
+        lo = jnp.full((bvh.width, 3), jnp.inf)
+        hi = jnp.full((bvh.width, 3), -jnp.inf)
+        for s in range(S):
+            k0 = (s - 1) / (S - 1)
+            k1 = (s + 1) / (S - 1)
+            act = (k1 >= tmin_time) & (k0 <= tmax_time)
+            lo = jnp.where(act, jnp.minimum(lo, accel.lower_ts[s, node]),
+                           lo)
+            hi = jnp.where(act, jnp.maximum(hi, accel.upper_ts[s, node]),
+                           hi)
         t_lo = lo[:, None, :] * rdir[None] - org_rdir[None]
         t_hi = hi[:, None, :] * rdir[None] - org_rdir[None]
         tmin = ROBUST_MIN_RCP * jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
@@ -68,14 +95,21 @@ def intersect_mb(accel: MBAccel, rays: Rays, time,
         tmin = jnp.maximum(tmin, tnear[None])
         return tmin, (tmin <= tmax) & (tmin <= tcur[None])
 
+    def lerp_tri(p):
+        w_ = w[..., None]
+        v0 = (accel.v0_ts[seg, p] * (1 - w_)
+              + accel.v0_ts[seg + 1, p] * w_)
+        v1 = (accel.v1_ts[seg, p] * (1 - w_)
+              + accel.v1_ts[seg + 1, p] * w_)
+        v2 = (accel.v2_ts[seg, p] * (1 - w_)
+              + accel.v2_ts[seg + 1, p] * w_)
+        return v0, v1, v2
+
     def leaf(start, count, t, prim):
         def body(i, carry):
             t, prim = carry
             p = bvh.prim_order[start + i]
-            w = tm[..., None]
-            v0 = accel.tris0.v0[p] * (1 - w) + accel.tris1.v0[p] * w
-            v1 = accel.tris0.v1[p] * (1 - w) + accel.tris1.v1[p] * w
-            v2 = accel.tris0.v2[p] * (1 - w) + accel.tris1.v2[p] * w
+            v0, v1, v2 = lerp_tri(p)
             ok, th, _u, _v, _ng = intersect_triangle(
                 org, direction, tnear, t, v0, v1, v2)
             ok = ok & (i < count)
@@ -110,29 +144,19 @@ def intersect_mb(accel: MBAccel, rays: Rays, time,
     _sp, _stack, t, prim = jax.lax.while_loop(cond, step, init)
 
     # finalize against time-interpolated triangles
-    w = tm[..., None]
     p = jnp.maximum(prim, 0)
-    tris_t = TrianglePrims(
-        v0=accel.tris0.v0[p] * (1 - w) + accel.tris1.v0[p] * w,
-        v1=accel.tris0.v1[p] * (1 - w) + accel.tris1.v1[p] * w,
-        v2=accel.tris0.v2[p] * (1 - w) + accel.tris1.v2[p] * w,
-        geom_id=accel.tris0.geom_id[p],
-        prim_id=accel.tris0.prim_id[p],
-        uv_flip=accel.tris0.uv_flip[p])
-    flat = Rays(org, direction, tnear, tfar)
-    # tris_t is already gathered per-ray; build a per-ray finalize
+    v0, v1, v2 = lerp_tri(p)
     valid = prim >= 0
     ok, _t2, u, v, ng = intersect_triangle(
-        org, direction, tnear, t * (1.0 + 1e-6) + 1e-30,
-        tris_t.v0, tris_t.v1, tris_t.v2)
+        org, direction, tnear, t * (1.0 + 1e-6) + 1e-30, v0, v1, v2)
     shape = rays.batch_shape
     return Hits(
         t=jnp.where(valid, t, tfar).reshape(shape),
         u=jnp.where(valid, u, 0.0).reshape(shape),
         v=jnp.where(valid, v, 0.0).reshape(shape),
         ng=jnp.where(valid[..., None], ng, 0.0).reshape(shape + (3,)),
-        prim_id=jnp.where(valid, tris_t.prim_id, -1).reshape(shape),
-        geom_id=jnp.where(valid, tris_t.geom_id, -1).reshape(shape),
+        prim_id=jnp.where(valid, accel.prim_id[p], -1).reshape(shape),
+        geom_id=jnp.where(valid, accel.geom_id[p], -1).reshape(shape),
         gprim=jnp.where(valid, p, -1).reshape(shape),
         inst_id=jnp.full(shape, -1, jnp.int32),
     )

@@ -1,5 +1,17 @@
 """Motion-blur tests (MB builders/intersectors, verify MB matrix analog)."""
 import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xB10)
+
+
+def _sphere(res):
+    from embree_tpu.verify.fixtures import triangle_sphere
+    return triangle_sphere((0, 0, 0), 2.0, res)
+
 
 import embree_tpu as et
 
@@ -58,3 +70,44 @@ def test_mb_combined_with_static():
     assert int(h.geom_id[0]) == 1
     h = s.intersect(rays, time=1.0)
     np.testing.assert_allclose(float(h.t[0]), 2.0, atol=1e-4)
+
+
+def test_multisegment_four_timesteps(rng):
+    """N=4 timesteps with NON-linear (piecewise) motion: hits at segment
+    interior times match a static scene built at the exact interpolated
+    positions (bvh_builder_msmblur.h multi-segment semantics)."""
+    import embree_tpu as et
+    verts, idx = _sphere(12)
+    # zig-zag motion: t=0 -> +x, t=1/3 -> +y, t=2/3 -> -x, t=1 -> done
+    offs = [np.zeros(3), np.float32([0.5, 0, 0]),
+            np.float32([0.5, 0.7, 0]), np.float32([-0.2, 0.7, 0.3])]
+    ts = [verts + o.astype(np.float32) for o in offs]
+    dev = et.Device("ignore_config_files=1")
+    s = et.Scene(dev)
+    s.attach(et.TriangleMeshMB(indices=idx, timesteps=ts))
+    s.commit()
+
+    n = 4000
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    org = np.zeros((n, 3), np.float32)
+    rays = et.make_rays(org, d)
+
+    for tq in (0.0, 0.18, 1.0 / 3.0, 0.5, 0.83, 1.0):
+        h = s.intersect(rays, time=np.full(n, tq, np.float32))
+        # static reference at the interpolated cage
+        x = tq * 3
+        a = int(min(np.floor(x), 2))
+        w = np.float32(x - a)
+        vref = (1 - w) * ts[a] + w * ts[a + 1]
+        dev2 = et.Device("ignore_config_files=1")
+        s2 = et.Scene(dev2)
+        s2.attach(et.TriangleMesh(vref, idx))
+        s2.commit()
+        href = s2.intersect(rays)
+        np.testing.assert_array_equal(np.asarray(h.valid),
+                                      np.asarray(href.valid))
+        m = np.asarray(href.valid)
+        np.testing.assert_allclose(np.asarray(h.t)[m],
+                                   np.asarray(href.t)[m], rtol=2e-5,
+                                   atol=2e-6)

@@ -119,16 +119,67 @@ def _morton_np(c, lo, hi):
     return out
 
 
+def _cut_ranges_native(prim_lower, prim_upper):
+    """Fast path: cut the NATIVE C++ SAH builder's BVH4 (children always
+    index past their parent; subtree prim ranges are contiguous)."""
+    from .native import build_sah_native
+
+    b = build_sah_native(prim_lower, prim_upper, branching=4, max_leaf=16)
+    if b is None:
+        return None
+    ch = np.asarray(b.child, np.int64)
+    cnt = np.asarray(b.count, np.int64)
+    order = np.asarray(b.prim_order, np.int64)
+    M = ch.shape[0]
+    BIG = np.int64(1) << 62
+    ncount = np.zeros(M, np.int64)
+    nstart = np.full(M, BIG)
+    # leaf slots' ch encodes prim starts (can exceed M): clamp for the
+    # gathers; the where() only uses node-slot values
+    chs = np.clip(ch, 0, M - 1)
+    for _ in range(80):   # converges in tree-depth passes (children > parent)
+        cc = np.where(cnt > 0, cnt, ncount[chs])
+        cc = np.where(cnt >= 0, cc, 0)
+        new_c = cc.sum(1)
+        ss = np.where(cnt > 0, ch, nstart[chs])
+        ss = np.where(cnt >= 0, ss, BIG)
+        new_s = ss.min(1)
+        if np.array_equal(new_c, ncount) and np.array_equal(new_s, nstart):
+            break
+        ncount, nstart = new_c, new_s
+
+    ranges = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if ncount[i] <= P_CAP:
+            ranges.append((int(nstart[i]), int(ncount[i])))
+            continue
+        for c in range(ch.shape[1]):
+            if cnt[i, c] > 0:
+                ranges.append((int(ch[i, c]), int(cnt[i, c])))
+            elif cnt[i, c] == 0:
+                j = int(ch[i, c])
+                if ncount[j] <= P_CAP:
+                    ranges.append((int(nstart[j]), int(ncount[j])))
+                else:
+                    stack.append(j)
+    ranges.sort()
+    return np.asarray(ranges, np.int64), order
+
+
 def _cut_ranges(prim_lower, prim_upper):
-    """SAH-cut treelet prim ranges: build a coarse binary SAH tree
-    (max_leaf 64 keeps the host sweep cheap) and cut at subtrees with
+    """SAH-cut treelet prim ranges: cut the SAH tree at subtrees with
     count <= P_CAP (contiguous ranges of the builder's reordered prim
-    array)."""
+    array). Native C++ builder when available; python BVH2 fallback."""
     from .sah import BuildSettings, build_bvh2
 
     n = prim_lower.shape[0]
     if n <= P_CAP:
         return np.asarray([[0, n]], np.int64), np.arange(n, dtype=np.int64)
+    fast = _cut_ranges_native(prim_lower, prim_upper)
+    if fast is not None:
+        return fast
     child2, _nlo2, _nhi2, order, root_ref, leaf_mult = build_bvh2(
         prim_lower, prim_upper, BuildSettings(max_leaf_size=64))
     ranges = []

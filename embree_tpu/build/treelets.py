@@ -279,8 +279,11 @@ def build_treelet_scene(v0, v1, v2, prim_ids, fan: int = 40) -> TreeletSceneNP:
     tv2 = take(v2, np.nan)
     tlo = take(lo, np.inf)
     thi = take(hi, -np.inf)
-    tpid = np.where(pad, -1.0,
-                    prim_ids[gsafe].astype(np.float32)).reshape(Ntr_pad, P_CAP)
+    # global prim ids as int32 BIT PATTERNS in the f32 block planes
+    # (bitcast back in the kernel) — exact for any id, unlike f32 values
+    # which corrupt ids above 2^24 (ADVICE round 2)
+    tpid = np.where(pad, -1,
+                    prim_ids[gsafe]).astype(np.int32).reshape(Ntr_pad, P_CAP)
 
     # --- implicit complete BVH4 bounds (vectorized over all treelets) ---
     pair_lo = tlo.reshape(Ntr_pad, N_PAIRS, 2, 3).min(2)   # (N,128,3)
@@ -322,8 +325,8 @@ def build_treelet_scene(v0, v1, v2, prim_ids, fan: int = 40) -> TreeletSceneNP:
         blocks[:, 2 * (12 + f) + 1, :] = pairs[:, :, 1, f].reshape(Ntr_pad,
                                                                    128)
     pidp = tpid.reshape(Ntr_pad, N_PAIRS, 2)
-    blocks[:, 2 * 24 + 1, :] = pidp[:, :, 0]
-    blocks[:, 2 * 25 + 1, :] = pidp[:, :, 1]
+    blocks[:, 2 * 24 + 1, :] = pidp[:, :, 0].view(np.float32)
+    blocks[:, 2 * 25 + 1, :] = pidp[:, :, 1].view(np.float32)
 
     # --- treelet root boxes + mid boxes ---
     t_lo = node_lo.reshape(Ntr_pad, -1, 3).min(1)

@@ -46,7 +46,7 @@ def load_mtl(path: str) -> dict:
                 continue
             if tok[0] == "newmtl":
                 cur = tok[1]
-                mats[cur] = {"type": MAT_OBJ, "kd": (0.5, 0.5, 0.5)}
+                mats[cur] = {"type": MAT_OBJ, "kd": (1.0, 1.0, 1.0)}
             elif cur is None:
                 continue
             elif tok[0] == "map_Kd":
@@ -75,7 +75,7 @@ def load_obj(path: str, subdiv_mode: bool = False):
     verts = []
     texcoords = []
     faces = []          # list of (index list, texcoord index list, mat id)
-    mats = [{"type": MAT_OBJ, "kd": (0.5, 0.5, 0.5)}]
+    mats = [{"type": MAT_OBJ, "kd": (1.0, 1.0, 1.0)}]  # OBJMaterial() default Kd=1 (materials.h:117)
     mat_index = {None: 0}
     cur_mat = 0
 

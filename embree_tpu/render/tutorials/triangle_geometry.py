@@ -48,7 +48,6 @@ CUBE_FACE_COLORS = np.array([
 PLANE_VERTICES = np.array([
     [-10, -2, -10], [-10, -2, +10], [+10, -2, -10], [+10, -2, +10]], np.float32)
 PLANE_INDICES = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
-PLANE_COLOR = np.array([1.0, 1.0, 1.0], np.float32)
 
 
 def build_scene(device=None):
@@ -58,11 +57,13 @@ def build_scene(device=None):
     cube_id = scene.attach(TriangleMesh(CUBE_VERTICES, CUBE_INDICES))
     plane_id = scene.attach(TriangleMesh(PLANE_VERTICES, PLANE_INDICES))
     cs = scene.commit()
-    face_colors = jnp.concatenate([
-        jnp.asarray(CUBE_FACE_COLORS),
-        jnp.broadcast_to(jnp.asarray(PLANE_COLOR), (2, 3))])
-    # face color lookup keyed on (geom_id, prim_id): cube prims 0-11, plane +12
-    prim_offset = jnp.asarray([0, 12], jnp.int32)
+    # reference-exact: renderPixelStandard shades EVERY hit with
+    # face_colors[ray.primID] (triangle_geometry_device.cpp:152) — the
+    # ground plane's primIDs are 0/1, so the floor picks up the cube's
+    # left-face red. Gated against the reference's own render
+    # (tests/test_ref_golden.py), so the quirk is load-bearing.
+    face_colors = jnp.asarray(CUBE_FACE_COLORS)
+    prim_offset = jnp.asarray([0, 0], jnp.int32)
     return dict(cscene=cs, face_colors=face_colors, prim_offset=prim_offset,
                 cube_id=cube_id, plane_id=plane_id)
 

@@ -88,9 +88,11 @@ def build_scene(obj_path: str, subdiv_mode=None, subdiv_level=5,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
-def render(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
+def _trace(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
            cam_vx, cam_vy, cam_vz, cam_p, perm=None, inv=None,
            *, width: int, height: int):
+    """Jitted trace + material part; returns flat (in image-row order)
+    kd/valid/d/geom/prim/u/v/ng so the smooth-normal pass can run on top."""
     x, y = pixel_coords(width, height, perm)
     d = normalize(x[..., None] * cam_vx + y[..., None] * cam_vy + cam_vz)
     org = jnp.broadcast_to(cam_p, d.shape)
@@ -111,25 +113,56 @@ def render(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
         + uv3[..., 2, :] * hits.v[..., None]
     tex = sample_texture(textures, jnp.maximum(tid, 0), uv[..., 0], uv[..., 1])
     kd = jnp.where((tid >= 0)[..., None], kd * tex, kd)
-    ns = normalize(hits.ng)
-    # face forward (viewer_device.cpp:241-244)
+    out = (kd, valid, d, hits.geom_id, hits.prim_id, hits.u, hits.v, hits.ng)
+    if inv is not None:
+        out = tuple(a[inv] for a in out)
+    return out
+
+
+def _shade(kd, valid, d, ns, width, height):
+    """color = Kd * dot(-dir, face_forward(normalize(Ns))) —
+    viewer_device.cpp:241-244,304."""
+    ns = normalize(ns)
     ns = jnp.where(dot(d, ns)[..., None] < 0, ns, -ns)
     shade = jnp.clip(dot(-d, ns), 0.0, 1.0)
     out = jnp.where(valid[..., None], kd * shade[..., None], 0.0)
-    if inv is not None:
-        out = out[inv]
     return out.reshape(height, width, 3)
 
 
-def render_frame(state, camera: Camera, size):
+def render_frame(state, camera: Camera, size, smooth_normals: bool = True):
+    """Reference viewer shading: g_use_smooth_normals defaults TRUE in
+    the fork (viewer_device.cpp:132) — Ns = cross(dPdv, dPdu) from
+    rtcInterpolate at every hit (:284-295), which for subdiv geometry is
+    the analytic limit-surface normal (essential for compressed leaves,
+    whose raw Ng is the dummy (1,0,0))."""
     from ..camera import pixel_morton_order_device
+    from ...scene.geometry import SubdivMesh
     w, h = size
     vx, vy, vz, p = camera.ispc_camera(w, h)
     perm, inv = pixel_morton_order_device(w, h)
-    img = render(state["cscene"], state["materials"], state["geom_mat"],
-                 state["textures"], state["kd_tex"], state["tri_uv"],
-                 state["prim_base"], vx, vy, vz, p, perm, inv,
-                 width=w, height=h)
+    kd, valid, d, gid, prim, u, v, ng = _trace(
+        state["cscene"], state["materials"], state["geom_mat"],
+        state["textures"], state["kd_tex"], state["tri_uv"],
+        state["prim_base"], vx, vy, vz, p, perm, inv, width=w, height=h)
+    scene = state.get("scene")
+    if smooth_normals and scene is not None:
+        ns = np.array(ng)
+        gid_np = np.asarray(gid)
+        valid_np = np.asarray(valid)
+        prim_np = np.asarray(prim)
+        u_np = np.asarray(u)
+        v_np = np.asarray(v)
+        for g_id, g in scene.geometries.items():
+            if not isinstance(g, SubdivMesh):
+                continue    # triangle dPdu/dPdv cross == +-Ng already
+            m = (gid_np == g_id) & valid_np
+            if not m.any():
+                continue
+            dv = scene.interpolate(g_id, prim_np[m], u_np[m], v_np[m],
+                                   derivatives=True)
+            ns[m] = np.asarray(jnp.cross(dv["dPdv"], dv["dPdu"]))
+        ng = jnp.asarray(ns)
+    img = _shade(kd, valid, d, ng, w, h)
     return img, w * h
 
 

@@ -721,15 +721,14 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
     shape = rays.batch_shape
     R = int(np.prod(shape)) if shape else 1
     # Per-lane treelet path (traverse/rowtrace.py): the incoherent-ray
-    # fast path at reference benchmark scale. Its round loop hosts-syncs
-    # (sort/compact/dispatch), so it only serves concrete (eager) calls —
-    # traced calls fall through to the packet megakernel.
+    # fast path at reference benchmark scale. Fully jitted (lax.while_loop
+    # round driver + zero-grad custom_vjp), so it serves traced calls —
+    # jax.jit, jax.grad (via diff/hit re-eval), shard_map — directly.
     if (not _sorted and not coherent and R >= ROWTRACE_MIN_RAYS
             and cs.rowtrace is not None and _use_pallas(cs, isa)
             and filter_fn is None and ray_mask is None and time is None
             and cs.compressed is None and cs.mb is None
-            and not cs.users and not cs.instances
-            and not isinstance(rays.org, jax.core.Tracer)):
+            and not cs.users and not cs.instances):
         from ..traverse.packet import _finalize_hits
         from ..traverse.rowtrace import intersect_rowtrace
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
@@ -884,8 +883,7 @@ def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
             and cs.rowtrace is not None and _use_pallas(cs, isa)
             and ray_mask is None
             and cs.compressed is None and cs.mb is None
-            and not cs.users and not cs.instances
-            and not isinstance(rays.org, jax.core.Tracer)):
+            and not cs.users and not cs.instances):
         from ..traverse.rowtrace import intersect_rowtrace
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))

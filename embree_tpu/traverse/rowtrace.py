@@ -20,9 +20,14 @@ per (8,128)-tile traverse in lockstep with per-lane data:
     one treelet per ray per round, nearest-first, so closest-hit rays
     terminate as soon as the next entry exceeds their best t).
 
-The round loop (intersect_rowtrace) runs in XLA: mid selection is a
-vectorized scan over mid boxes, grouping is one lax.sort per round, and
-finished rays compact to the back and are sliced off at bucketed sizes.
+The round loop (intersect_rowtrace) is FULLY JITTED: a lax.while_loop
+whose body runs (kernel round -> mid scan -> grouping sort) on a
+bucketed active-prefix (lax.switch over static prefix sizes — finished
+rays compact to the back and stay there, so each round only touches the
+front of the state). No host syncs: the whole traversal is one device
+program, traceable under jax.jit / shard_map, and carries a zero-grad
+custom_vjp (hit *selection* is discrete — gradients flow through the
+differentiable re-evaluation in diff/hit.py, never the traversal).
 """
 from __future__ import annotations
 
@@ -63,6 +68,11 @@ def _slab(lox, loy, loz, hix, hiy, hiz, rdx, rdy, rdz, orx, ory, orz, tn):
     tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                    jnp.maximum(ty0, ty1)),
                        jnp.maximum(tz0, tz1)) * ROBUST_MAX
+    # inverted/empty boxes (pads: lo=+inf, hi=-inf) must MISS — without
+    # this, inf*rdir arithmetic can yield tmin<=tmax and every padded
+    # child/treelet slot becomes a phantom candidate (a whole wasted
+    # round per pad treelet). One axis check suffices: pads invert all.
+    tmax = jnp.where(lox <= hix, tmax, NINF)
     return jnp.maximum(tmin, tn), tmax
 
 
@@ -159,7 +169,11 @@ def _rowtrace_kernel(fan: int, occluded: bool, cull: bool = False):
                 e1x, e1y, e1z = vals[p + 3], vals[p + 4], vals[p + 5]
                 e2x, e2y, e2z = vals[p + 6], vals[p + 7], vals[p + 8]
                 ngx, ngy, ngz = vals[p + 9], vals[p + 10], vals[p + 11]
-                pid_f = vals[24 + (p // 12)]
+                # pid planes carry int32 ids bitcast into the f32 block
+                # (exact for any prim count — f32 VALUES would corrupt
+                # ids above 2^24); gathers/selects only move bits.
+                pid_i = jax.lax.bitcast_convert_type(
+                    vals[24 + (p // 12)], jnp.int32)
                 cx = v0x - o_x
                 cy = v0y - o_y
                 cz = v0z - o_z
@@ -180,7 +194,7 @@ def _rowtrace_kernel(fan: int, occluded: bool, cull: bool = False):
                     t = jnp.where(ok, NINF, t)
                 else:
                     t = jnp.where(ok, t_s / jnp.maximum(absden, 1e-37), t)
-                    prim = jnp.where(ok, pid_f, prim)
+                    prim = jnp.where(ok, pid_i, prim)
             if occluded:
                 alive = alive & (t > NINF)
 
@@ -268,7 +282,7 @@ def _run_rowtrace(ts_blocks, ts_tre, tidp, midp, tiles, fan: int,
     )
     out_shape = tuple(
         jax.ShapeDtypeStruct((ntiles * 8, 128), dt)
-        for dt in (jnp.float32, jnp.float32, jnp.int32, jnp.float32,
+        for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.float32,
                    jnp.int32, jnp.float32, jnp.int32))
     return pl.pallas_call(
         _rowtrace_kernel(fan, occluded, cull),
@@ -279,10 +293,11 @@ def _run_rowtrace(ts_blocks, ts_tre, tidp, midp, tiles, fan: int,
 
 
 # ---------------------------------------------------------------------------
-# round driver
+# round driver (fully jitted — no host syncs)
 # ---------------------------------------------------------------------------
 
 _BUCKETS = (1, 4, 16, 64, 256, 1024, 4096)
+_BUCKET_DIVS = (64, 16, 4, 1)   # active-prefix fractions of Rp per round
 
 # state array order (all flat (R,)):
 #   0..2 org, 3..5 dir, 6 tnear, 7 t, 8 prim(f32), 9 rayid(i32),
@@ -412,16 +427,24 @@ def _kernel_round(state, blocks, tre, fan: int, ntiles: int,
     return tuple(out)
 
 
-def intersect_rowtrace(ts: TreeletScene, rays: Rays, occluded: bool = False,
-                       cull: bool = False, interpret: bool = False,
-                       max_rounds: int = 256):
-    """Full traversal: returns (t, prim) flat over rays (prim = -1 miss;
-    occluded: t == -inf marks hits)."""
-    org = rays.org.reshape(-1, 3)
-    d = rays.dir.reshape(-1, 3)
-    tn = rays.tnear.reshape(-1)
-    tf = rays.tfar.reshape(-1)
-    R = tn.shape[0]
+def _prefix_sizes(Rp: int) -> tuple:
+    """Static active-prefix sizes (ascending, multiples of 1024, <= Rp)."""
+    sizes = []
+    for dv in _BUCKET_DIVS:
+        s = min(Rp, max(1024, -(-Rp // dv // 1024) * 1024))
+        if s not in sizes:
+            sizes.append(s)
+    return tuple(sorted(sizes))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fan", "num_mids", "num_treelets",
+                                    "occluded", "cull", "interpret", "R",
+                                    "max_rounds"))
+def _rowtrace_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
+                   fan: int, num_mids: int, num_treelets: int,
+                   occluded: bool, cull: bool, interpret: bool, R: int,
+                   max_rounds: int):
     Rp = _bucket(-(-R // 1024)) * 1024
     pad = Rp - R
 
@@ -429,11 +452,11 @@ def intersect_rowtrace(ts: TreeletScene, rays: Rays, occluded: bool = False,
         return jnp.concatenate(
             [x.astype(dt), jnp.full((pad,), fill, dt)])
 
-    state = [
+    state = (
         pc(org[:, 0], 0.0), pc(org[:, 1], 0.0), pc(org[:, 2], 0.0),
         pc(d[:, 0], 1.0), pc(d[:, 1], 0.0), pc(d[:, 2], 0.0),
         pc(tn, 0.0), pc(tf, NINF),
-        pc(jnp.full((R,), -1.0), -1.0),
+        pc(jnp.full((R,), -1, jnp.int32), -1, jnp.int32),    # prim (i32)
         pc(jnp.arange(R, dtype=jnp.int32), R, jnp.int32),
         pc(jnp.full((R,), -1, jnp.int32), -1, jnp.int32),    # cur_mid
         pc(jnp.full((R,), NINF), NINF),                       # mcur_e
@@ -442,29 +465,94 @@ def intersect_rowtrace(ts: TreeletScene, rays: Rays, occluded: bool = False,
         pc(jnp.full((R,), INF), INF),                         # cand_e
         pc(jnp.full((R,), -1, jnp.int32), -1, jnp.int32),    # cand_b
         pc(jnp.full((R,), _NEED_MID, jnp.int32), _DONE, jnp.int32),
-    ]
-    state = tuple(state)
+    )
 
-    state = _mid_scan(state, ts.mid_boxes, ts.num_mids)
-    state, n_active = _sort_state(state, ts.fan)
-    n = int(n_active)
-    rounds = 0
-    while n > 0 and rounds < max_rounds:
-        ntiles = _bucket(-(-n // 1024))
-        ntiles = min(ntiles, Rp // 1024)
-        state = _kernel_round(state, ts.blocks, ts.tre_boxes, ts.fan,
-                              ntiles, occluded, cull, interpret)
-        state = _mid_scan(state, ts.mid_boxes, ts.num_mids)
-        state, n_active = _sort_state(state, ts.fan)
-        n = int(n_active)
-        rounds += 1
+    state = _mid_scan(state, mid_boxes, num_mids)
+    state, n_active = _sort_state(state, fan)
+
+    sizes = _prefix_sizes(Rp)
+
+    def round_at(size):
+        def branch(st):
+            st = _kernel_round(st, blocks, tre_boxes, fan, size // 1024,
+                               occluded, cull, interpret)
+            sl = tuple(a[:size] for a in st)
+            sl = _mid_scan(sl, mid_boxes, num_mids)
+            sl, n_act = _sort_state(sl, fan)
+            st = tuple(f.at[:size].set(s) for f, s in zip(st, sl))
+            return st, n_act
+        return branch
+
+    branches = [round_at(s) for s in sizes]
+    # The loop exhausts when every ray's (entry, id)-lexicographic
+    # cursors run dry (each ray visits each mid/treelet at most once,
+    # though a ray may WAIT rounds for its row's key-group turn, so the
+    # round count is data-dependent and can exceed per-ray visit counts
+    # by a wide margin at small ray counts). The cap is purely an
+    # infinite-loop guard, far above any reachable round count (ADVICE
+    # r2: no silent truncation).
+    cap = max_rounds if max_rounds else (1 << 20)
+
+    def body(carry):
+        st, n_act, rounds = carry
+        idx = jnp.int32(0)
+        for s in sizes[:-1]:
+            idx = idx + (n_act > s).astype(jnp.int32)
+        st, n_act = jax.lax.switch(idx, branches, st)
+        return st, n_act, rounds + 1
+
+    def cond(carry):
+        return (carry[1] > 0) & (carry[2] < cap)
+
+    state, n_active, rounds = jax.lax.while_loop(
+        cond, body, (state, n_active, jnp.int32(0)))
 
     # restore original ray order: sort by rayid (padding ids sort last)
     out = jax.lax.sort((state[9], state[7], state[8]), num_keys=1)
     t = out[1][:R]
-    prim = out[2][:R].astype(jnp.int32)
+    prim = out[2][:R]
     if occluded:
         return t, prim
     miss = prim < 0
     t = jnp.where(miss, tf.astype(jnp.float32), t)
     return t, prim
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _rowtrace_cv(arrs, static):
+    blocks, tre_boxes, mid_boxes, org, d, tn, tf = arrs
+    return _rowtrace_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf,
+                          **dict(static))
+
+
+def _rowtrace_cv_fwd(arrs, static):
+    return _rowtrace_cv(arrs, static), arrs
+
+
+def _rowtrace_cv_bwd(static, arrs, ct):
+    # traversal output is a discrete hit SELECTION: zero cotangents by
+    # design (gradients flow through diff/hit.py's re-evaluation of the
+    # selected primitive, mirroring the stop-gradient split in SURVEY §7.6)
+    return (jax.tree.map(jnp.zeros_like, arrs),)
+
+
+_rowtrace_cv.defvjp(_rowtrace_cv_fwd, _rowtrace_cv_bwd)
+
+
+def intersect_rowtrace(ts: TreeletScene, rays: Rays, occluded: bool = False,
+                       cull: bool = False, interpret: bool = False,
+                       max_rounds: int = 0):
+    """Full traversal: returns (t, prim) flat over rays (prim = -1 miss;
+    occluded: t == -inf marks hits). Fully jittable and grad-safe (zero
+    traversal gradients via custom_vjp)."""
+    org = rays.org.reshape(-1, 3)
+    d = rays.dir.reshape(-1, 3)
+    tn = rays.tnear.reshape(-1)
+    tf = rays.tfar.reshape(-1)
+    R = tn.shape[0]
+    static = (("fan", ts.fan), ("num_mids", ts.num_mids),
+              ("num_treelets", ts.num_treelets), ("occluded", bool(occluded)),
+              ("cull", bool(cull)), ("interpret", bool(interpret)),
+              ("R", R), ("max_rounds", int(max_rounds)))
+    arrs = (ts.blocks, ts.tre_boxes, ts.mid_boxes, org, d, tn, tf)
+    return _rowtrace_cv(arrs, static)

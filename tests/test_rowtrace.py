@@ -107,8 +107,54 @@ def test_treelet_build_shapes(rng):
     assert ts.num_treelets == ts.num_mids * 8
     assert ts.num_treelets * P_CAP >= 1000
     # every real prim id appears exactly once in the leaf pid planes
+    # (stored as int32 bit patterns inside the f32 block)
     pids = np.concatenate([ts.blocks[:, 49, :].ravel(),
-                           ts.blocks[:, 51, :].ravel()])
+                           ts.blocks[:, 51, :].ravel()]).view(np.int32)
     pids = pids[pids >= 0].astype(np.int64)
     assert len(pids) == 1000
     assert len(np.unique(pids)) == 1000
+
+
+def test_rowtrace_jit_and_grad(rng):
+    """The round-3 contract (VERDICT r2 #1): rowtrace is reachable from
+    jax.jit and jax.grad — the round loop is a lax.while_loop device
+    program and traversal carries a zero-grad custom_vjp, with gradients
+    flowing through the differentiable hit re-evaluation instead."""
+    import jax
+    import jax.numpy as jnp
+
+    from embree_tpu.diff.hit import reeval_hit
+    from embree_tpu.core.rayhit import Rays
+
+    verts, idx = triangle_sphere((0, 0, 0), 2.0, 16)
+    org = rng.uniform(-3, 3, (600, 3)).astype(np.float32)
+    d = rng.normal(size=(600, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = et.make_rays(org, d)
+    ts = _treelets(verts, idx, fan=4)
+
+    i = np.asarray(idx)
+
+    dev = et.Device("ignore_config_files=1")
+    scene = et.Scene(dev)
+    scene.attach(et.TriangleMesh(verts, idx))
+    cs = scene.commit()
+
+    def loss(vertices, r):
+        tris = cs.tris._replace(v0=vertices[i[:, 0]], v1=vertices[i[:, 1]],
+                                v2=vertices[i[:, 2]])
+        flat = Rays(r.org.reshape(-1, 3), r.dir.reshape(-1, 3),
+                    r.tnear.reshape(-1), r.tfar.reshape(-1))
+        t, prim = intersect_rowtrace(ts, flat, interpret=True)
+        h = reeval_hit(tris, flat, jnp.maximum(prim, 0), prim >= 0)
+        return jnp.sum(jnp.where(prim >= 0, h.t, 0.0)), prim
+
+    (val, prim), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(
+        jnp.asarray(verts), rays)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0.0      # grads actually flow
+    # and the traced forward matches the eager reference
+    ref = _ref_hits(verts, idx, rays)
+    np.testing.assert_array_equal(np.asarray(prim) >= 0,
+                                  np.asarray(ref.valid))

@@ -119,6 +119,17 @@ def _trace(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
     return out
 
 
+def render(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
+           cam_vx, cam_vy, cam_vz, cam_p, perm=None, inv=None,
+           *, width: int, height: int):
+    """One-shot geometric-normal render (no smooth-normal pass) — the
+    fast path used by viewer_anim's per-frame loop."""
+    kd, valid, d, _gid, _prim, _u, _v, ng = _trace(
+        cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
+        cam_vx, cam_vy, cam_vz, cam_p, perm, inv, width=width, height=height)
+    return _shade(kd, valid, d, ng, width, height)
+
+
 def _shade(kd, valid, d, ns, width, height):
     """color = Kd * dot(-dir, face_forward(normalize(Ns))) —
     viewer_device.cpp:241-244,304."""

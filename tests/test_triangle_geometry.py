@@ -28,10 +28,12 @@ def test_shadow_present():
     """The cube must cast a shadow on the ground plane: some plane pixels
     receive only the 0.5*diffuse ambient term."""
     img = _render(128, 128)
-    gray = img.reshape(-1, 3)
-    # plane is white diffuse: ambient-only = 0.5, lit > 0.5
-    plane_like = np.all(np.abs(gray - gray[:, :1]) < 1e-3, axis=1) & (gray[:, 0] > 0.1)
-    vals = gray[plane_like][:, 0]
+    px = img.reshape(-1, 3)
+    # reference-exact: the plane shades face_colors[primID] -> RED
+    # (triangle_geometry_device.cpp:152); ambient-only = (0.5,0,0),
+    # lit = (1.077,0,0)
+    plane_like = (px[:, 1] < 1e-3) & (px[:, 2] < 1e-3) & (px[:, 0] > 0.1)
+    vals = px[plane_like][:, 0]
     assert (np.abs(vals - 0.5) < 1e-2).any(), "no shadowed plane pixels"
     assert (vals > 0.55).any(), "no lit plane pixels"
 

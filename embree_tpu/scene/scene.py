@@ -431,8 +431,24 @@ class Scene:
         from ..build.refit import plan_refit, refit
         from ..traverse.mb import MBAccel
 
-        S = max(len(g.vertex_timesteps) for _g, g in
-                [(None, g) for _gid, g in mb_geoms])
+        # Common knot grid: LCM of per-geometry segment counts so every
+        # geometry's own knots land exactly ON common knots (piecewise-
+        # linear resampling is then exact — the msmblur builder keeps
+        # per-geometry grids exact; ADVICE r2). Capped to keep the refit
+        # count sane; beyond the cap the extra-knot motion is chorded
+        # with a warning.
+        import math
+        seg_counts = [max(1, len(g.vertex_timesteps) - 1)
+                      for _gid, g in mb_geoms]
+        L = 1
+        for c in seg_counts:
+            L = L * c // math.gcd(L, c)
+        if L + 1 > 65:
+            if self.device.state.verbose >= 1:
+                print(f"embree_tpu: MB knot LCM {L + 1} exceeds cap; "
+                      f"non-aligned motion will be chorded")
+            L = max(seg_counts)
+        S = L + 1
         knots = np.linspace(0.0, 1.0, S)
 
         per_ts = [[] for _ in range(S)]   # [(v0,v1,v2)] per timestep

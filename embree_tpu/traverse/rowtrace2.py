@@ -1,0 +1,603 @@
+"""Per-lane treelet traversal v2 — bitmask chains + in-kernel turns.
+
+v1 (rowtrace.py) pays one FULL outer round (sort + dispatch + restage)
+per (ray, treelet) visit and rescans all mid/fan boxes on every visit;
+with (mid, cand) groups of ~50 rays against 128-lane rows, most lanes
+wait most rounds (measured: 1633 rounds / 0.42 Mray/s at 1M prims/rays).
+v2 restructures the schedule around two ideas:
+
+* **bitmask chains** — each ray's candidate MIDs are computed ONCE as a
+  bitmask (an XLA prepass fori over mid boxes, <=MAX_MID_WORDS i32
+  words per lane); per visited mid, a bitmask over its FAN treelet
+  boxes is seeded in-kernel with slab tests against the lane's CURRENT
+  best t. Advancing to the next work unit is find-first-set (exact
+  float-exponent trick), not an O(M)/O(fan) rescan. Visits run in id
+  order instead of entry order: closest-hit needs every candidate with
+  tmin <= t_final visited in SOME order — the entry sort was only a
+  termination heuristic, and per-candidate t-pruning (fan slabs test
+  the live t) recovers most of it.
+
+* **in-kernel consensus turns** — the kernel loops: each row picks the
+  min current mid over its lanes, DMAs that mid's fan-box row, seeds
+  fan masks for matching lanes, picks the min next-treelet id, DMAs
+  that treelet block (dynamic index into the HBM blocks array), and
+  walks it with the matching lanes. One kernel invocation retires MANY
+  (mid, treelet) units per row; the outer XLA loop only regroups
+  stragglers (lanes whose mid lost the row consensus) every IN_CAP
+  turns. Per-lane mid ids and fan ids advance monotonically, so the
+  row consensus (a running min) starves no lane.
+
+The treelet walk itself (implicit complete BVH4 over (8,128) vector
+registers, per-lane stacks, dynamic_gather node fetch) is v1's,
+unchanged — reference analog bvh_intersector1.cpp:41-127.
+
+Scene-size cap: mid masks hold MAX_MID_WORDS*32 mids; with fan<=128
+that bounds rowtrace scenes to ~8M prims (larger scenes keep the
+packet path; scene.py dispatch checks `fits_rowtrace2`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..build.treelets import F_FIELDS, L3_BASE, TreeletScene
+from ..core.rayhit import Rays
+
+ROBUST_MIN = np.float32(1.0 - 3.0 * 2.0 ** -23)
+ROBUST_MAX = np.float32(1.0 + 3.0 * 2.0 ** -23)
+INF = np.float32(np.inf)
+NINF = np.float32(-np.inf)
+D_STACK = 12
+LEAF_BASE = 128
+MAX_MID_WORDS = 8          # mid-mask capacity: 256 mids
+BIG = np.int32(1 << 24)
+DONE_KEY = np.int32(1 << 30)
+
+_PICK = np.int32(-1)       # pick next mid from mask
+_DONE = np.int32(-2)       # ray finished
+
+
+def fits_rowtrace2(num_mids: int, fan: int) -> bool:
+    return num_mids <= MAX_MID_WORDS * 32 and fan <= 128
+
+
+def _rcp_safe(a):
+    return jnp.where(jnp.abs(a) < 1e-30,
+                     jnp.where(a < 0, -1e30, 1e30), 1.0 / a)
+
+
+def _slab(lox, loy, loz, hix, hiy, hiz, rdx, rdy, rdz, orx, ory, orz, tn):
+    tx0 = lox * rdx - orx
+    tx1 = hix * rdx - orx
+    ty0 = loy * rdy - ory
+    ty1 = hiy * rdy - ory
+    tz0 = loz * rdz - orz
+    tz1 = hiz * rdz - orz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                   jnp.minimum(ty0, ty1)),
+                       jnp.minimum(tz0, tz1)) * ROBUST_MIN
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                   jnp.maximum(ty0, ty1)),
+                       jnp.maximum(tz0, tz1)) * ROBUST_MAX
+    tmax = jnp.where(lox <= hix, tmax, NINF)   # inverted/pad boxes miss
+    return jnp.maximum(tmin, tn), tmax
+
+
+def _ffs32(word):
+    """Per-lane index of the lowest set bit (32 if zero). Single-bit
+    int -> f32 conversion is exact; the exponent field IS the index."""
+    lsb = jnp.bitwise_and(word, jnp.negative(word))
+    f = lsb.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(f, jnp.int32)
+    # mask the sign bit: lsb == 1<<31 converts to a NEGATIVE float whose
+    # magnitude exponent still encodes index 31
+    bits = jnp.bitwise_and(bits, jnp.int32(0x7FFFFFFF))
+    idx = jax.lax.shift_right_logical(bits, 23) - 127
+    return jnp.where(word == 0, 32, idx)
+
+
+def _ffs_words(words):
+    """FFS across word registers -> global bit index (BIG if none)."""
+    out = jnp.full_like(words[0], BIG)
+    for w, word in enumerate(words):
+        idx = _ffs32(word) + w * 32
+        out = jnp.where((out == BIG) & (word != 0), idx, out)
+    return out
+
+
+def _clear_bit(words, idx, mask):
+    out = []
+    for w, word in enumerate(words):
+        bit = jax.lax.shift_left(jnp.int32(1),
+                                 jnp.clip(idx - w * 32, 0, 31))
+        hit = mask & (idx >= w * 32) & (idx < (w + 1) * 32)
+        out.append(jnp.where(hit, jnp.bitwise_and(word,
+                                                  jnp.invert(bit)), word))
+    return out
+
+
+def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
+                      in_cap: int, occluded: bool, cull: bool):
+
+    def kernel(params, blocks, tre, *args):
+        # inputs: 7 ray + t,prim,cur,seed + mid_words + fan_words
+        n_in = 11 + mid_words + fan_words
+        ins = args[:n_in]
+        outs = args[n_in:n_in + 5 + mid_words + fan_words]
+        scratch = args[n_in + 5 + mid_words + fan_words:]
+        (ox, oy, oz, dx, dy, dz, tn,
+         t_in, prim_in, cur_in, seed_in) = ins[:11]
+        mm_in = ins[11:11 + mid_words]
+        fm_in = ins[11 + mid_words:]
+        (t_o, prim_o, cur_o, seed_o, key_o) = outs[:5]
+        mm_o = outs[5:5 + mid_words]
+        fm_o = outs[5 + mid_words:]
+        stage, midstage, sem1, sem2 = scratch
+
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        rdx = _rcp_safe(d_x)
+        rdy = _rcp_safe(d_y)
+        rdz = _rcp_safe(d_z)
+        orx = o_x * rdx
+        ory = o_y * rdy
+        orz = o_z * rdz
+        tnear = tn[:]
+        zero_i = jnp.zeros_like(t_in[:], jnp.int32)
+
+        def fetch(cur):
+            is_leaf = cur >= LEAF_BASE
+            lane = jnp.bitwise_and(jnp.maximum(cur, 0), 127)
+            vals = []
+            for f in range(F_FIELDS):
+                c0 = stage[:, 2 * f, :]
+                c1 = stage[:, 2 * f + 1, :]
+                g0 = jnp.take_along_axis(c0, lane, axis=1)
+                g1 = jnp.take_along_axis(c1, lane, axis=1)
+                vals.append(jnp.where(is_leaf, g1, g0))
+            return vals
+
+        def walk(part, t, prim):
+            def step(carry):
+                cur, sp, t, prim, alive_i, iters = carry[:6]
+                stack = list(carry[6:])
+                alive = alive_i != 0
+                vals = fetch(cur)
+                is_leaf = cur >= LEAF_BASE
+                keys, cids = [], []
+                is_l3 = cur >= L3_BASE
+                base = jnp.where(is_l3, LEAF_BASE + 2 * (cur - L3_BASE),
+                                 4 * cur + 1)
+                for c in range(4):
+                    tmin, tmax = _slab(
+                        vals[c], vals[4 + c], vals[8 + c],
+                        vals[12 + c], vals[16 + c], vals[20 + c],
+                        rdx, rdy, rdz, orx, ory, orz, tnear)
+                    hit = (tmin <= tmax) & (tmin <= t)
+                    keys.append(jnp.where(hit, tmin, INF))
+                    cids.append(base + c)
+                for (a, b) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                    swap = keys[b] < keys[a]
+                    keys[a], keys[b] = (jnp.where(swap, keys[b], keys[a]),
+                                        jnp.where(swap, keys[a], keys[b]))
+                    cids[a], cids[b] = (jnp.where(swap, cids[b], cids[a]),
+                                        jnp.where(swap, cids[a], cids[b]))
+                node_mode = alive & ~is_leaf
+                near_hit = node_mode & (keys[0] < INF)
+                for k in (3, 2, 1):
+                    do = node_mode & (keys[k] < INF)
+                    for dd in range(D_STACK):
+                        stack[dd] = jnp.where(do & (sp == dd), cids[k],
+                                              stack[dd])
+                    sp = sp + do.astype(jnp.int32)
+
+                leaf_mode = alive & is_leaf
+                for p in (0, 12):
+                    v0x, v0y, v0z = vals[p], vals[p + 1], vals[p + 2]
+                    e1x, e1y, e1z = vals[p + 3], vals[p + 4], vals[p + 5]
+                    e2x, e2y, e2z = vals[p + 6], vals[p + 7], vals[p + 8]
+                    ngx, ngy, ngz = vals[p + 9], vals[p + 10], vals[p + 11]
+                    pid_i = jax.lax.bitcast_convert_type(
+                        vals[24 + (p // 12)], jnp.int32)
+                    cx = v0x - o_x
+                    cy = v0y - o_y
+                    cz = v0z - o_z
+                    rx = cy * d_z - cz * d_y
+                    ry = cz * d_x - cx * d_z
+                    rz = cx * d_y - cy * d_x
+                    den = ngx * d_x + ngy * d_y + ngz * d_z
+                    absden = jnp.abs(den)
+                    sgn = jnp.where(den >= 0.0, 1.0, -1.0)
+                    u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
+                    v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
+                    t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
+                    front = (den < 0.0) if cull else (den != 0.0)
+                    ok = leaf_mode & front & (u_s >= 0.0) & (v_s >= 0.0) \
+                        & (u_s + v_s <= absden) & (absden * tnear < t_s) \
+                        & (t_s <= absden * t)
+                    if occluded:
+                        t = jnp.where(ok, NINF, t)
+                    else:
+                        t = jnp.where(ok, t_s / jnp.maximum(absden, 1e-37),
+                                      t)
+                        prim = jnp.where(ok, pid_i, prim)
+                if occluded:
+                    alive = alive & (t > NINF)
+
+                need_pop = alive & (is_leaf | ~near_hit)
+                can_pop = need_pop & (sp > 0)
+                spm = sp - can_pop.astype(jnp.int32)
+                popv = zero_i
+                for dd in range(D_STACK):
+                    popv = jnp.where(spm == dd, stack[dd], popv)
+                cur = jnp.where(can_pop, popv,
+                                jnp.where(near_hit & ~need_pop, cids[0],
+                                          cur))
+                sp = spm
+                alive = alive & (~need_pop | can_pop)
+                return tuple([cur, sp, t, prim, alive.astype(jnp.int32),
+                              iters + 1] + stack)
+
+            def cond(carry):
+                return jnp.any(carry[4] != 0) & (carry[5] < 2048)
+
+            init = tuple([jnp.where(part, 0, -1).astype(jnp.int32), zero_i,
+                          t, prim, part.astype(jnp.int32), jnp.int32(0)]
+                         + [zero_i] * D_STACK)
+            out = jax.lax.while_loop(cond, step, init)
+            return out[2], out[3]
+
+        def fan_pass(t):
+            """Slab the staged fan-box row against the lane's CURRENT t
+            (per-candidate pruning recovers entry-order termination)."""
+            fm = [zero_i] * fan_words
+            for b in range(fan):
+                pl_ = [jnp.broadcast_to(midstage[:, p, b:b + 1], t.shape)
+                       for p in range(6)]
+                tmin, tmax = _slab(pl_[0], pl_[1], pl_[2], pl_[3], pl_[4],
+                                   pl_[5], rdx, rdy, rdz, orx, ory, orz,
+                                   tnear)
+                ok = (tmin <= tmax) & (tmin <= t)
+                bit = np.int32(np.uint32(1 << (b % 32)))  # bit 31 wraps
+                fm[b // 32] = jnp.bitwise_or(
+                    fm[b // 32], jnp.where(ok, bit, 0))
+            return fm
+
+        def turn(carry):
+            (t, prim, cur, seed, turns) = carry[:5]
+            mm = list(carry[5:5 + mid_words])
+            fm = list(carry[5 + mid_words:5 + mid_words + fan_words])
+
+            # 1: PICK lanes take their next mid (or finish)
+            pick = cur == _PICK
+            nxt = _ffs_words(mm)
+            have = pick & (nxt < BIG)
+            mm = _clear_bit(mm, nxt, have)
+            cur = jnp.where(have, nxt, jnp.where(pick, _DONE, cur))
+            seed = jnp.where(have, 0, seed)
+
+            # 2: per-row consensus mid; stage its fan-box row
+            active = cur >= 0
+            curv = jnp.where(active, cur, BIG)
+            row_mids = []
+            for r in range(8):
+                rm = jnp.min(curv[r:r + 1, :])
+                row_mids.append(rm)
+
+                @pl.when(rm < BIG)
+                def _(rm=rm, r=r):
+                    cp = pltpu.make_async_copy(tre.at[rm], midstage.at[r],
+                                               sem2.at[r])
+                    cp.start()
+                    cp.wait()
+            row_mid = jnp.concatenate(
+                [jnp.full((1, 128), rm, jnp.int32) for rm in row_mids],
+                axis=0)
+            served = active & (cur == row_mid)
+
+            # 3: seed fan masks for served, unseeded lanes
+            need_seed = served & (seed == 0)
+            fm_new = fan_pass(t)
+            fm = [jnp.where(need_seed, n, o) for n, o in zip(fm_new, fm)]
+            seed = jnp.where(need_seed, 1, seed)
+
+            # 4: per-row consensus treelet; stage + walk it
+            cand = _ffs_words(fm)
+            has_cand = served & (cand < BIG)
+            candv = jnp.where(has_cand, cand, BIG)
+            row_tids = []
+            for r in range(8):
+                rm = row_mids[r]
+                rt = jnp.min(candv[r:r + 1, :])
+                row_tids.append(rt)
+
+                @pl.when(rt < BIG)
+                def _(rm=rm, rt=rt, r=r):
+                    cp = pltpu.make_async_copy(
+                        blocks.at[rm * fan + rt], stage.at[r], sem1.at[r])
+                    cp.start()
+                    cp.wait()
+            row_tid = jnp.concatenate(
+                [jnp.full((1, 128), rt, jnp.int32) for rt in row_tids],
+                axis=0)
+            part = has_cand & (cand == row_tid)
+            fm = _clear_bit(fm, cand, part)
+            # no participants -> the walk's while cond is false on entry
+            t, prim = walk(part, t, prim)
+            if occluded:
+                cur = jnp.where(t == NINF, _DONE, cur)
+
+            # 5: served lanes whose fan mask drained -> next mid
+            drained = served & (cur >= 0) & (_ffs_words(fm) == BIG)
+            cur = jnp.where(drained, _PICK, cur)
+            seed = jnp.where(drained, 0, seed)
+
+            return tuple([t, prim, cur, seed, turns + 1] + mm + fm)
+
+        def turn_cond(carry):
+            cur, turns = carry[2], carry[4]
+            return jnp.any(cur != _DONE) & (turns < in_cap)
+
+        init = tuple([t_in[:], prim_in[:], cur_in[:], seed_in[:],
+                      jnp.int32(0)]
+                     + [m[:] for m in mm_in] + [f[:] for f in fm_in])
+        out = jax.lax.while_loop(turn_cond, turn, init)
+        t, prim, cur, seed = out[0], out[1], out[2], out[3]
+        mm = list(out[5:5 + mid_words])
+        fm = list(out[5 + mid_words:5 + mid_words + fan_words])
+
+        t_o[:] = t
+        prim_o[:] = prim
+        cur_o[:] = cur
+        seed_o[:] = seed
+        for w in range(mid_words):
+            mm_o[w][:] = mm[w]
+        for w in range(fan_words):
+            fm_o[w][:] = fm[w]
+        nxt = _ffs_words(fm)
+        key_o[:] = jnp.where(cur == _DONE, DONE_KEY,
+                             jnp.maximum(cur, 0) * 130
+                             + jnp.where(nxt < BIG, nxt, 129))
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fan", "mid_words", "fan_words",
+                                    "ntiles", "in_cap", "occluded", "cull",
+                                    "interpret"))
+def _run_rowtrace2(ts_blocks, ts_tre, tiles, fan: int, mid_words: int,
+                   fan_words: int, ntiles: int, in_cap: int,
+                   occluded: bool, cull: bool, interpret: bool):
+    params = jnp.zeros((1,), jnp.int32)
+    tile = (8, 128)
+    ray_spec = pl.BlockSpec(tile, lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    n_in = 11 + mid_words + fan_words
+    n_out = 5 + mid_words + fan_words
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)]
+        + [ray_spec] * n_in,
+        out_specs=tuple([ray_spec] * n_out),
+        scratch_shapes=[
+            pltpu.VMEM((8, 2 * F_FIELDS, 128), jnp.float32),
+            pltpu.VMEM((8, 6, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    dts = ([jnp.float32, jnp.int32, jnp.int32, jnp.int32, jnp.int32]
+           + [jnp.int32] * (mid_words + fan_words))
+    out_shape = tuple(jax.ShapeDtypeStruct((ntiles * 8, 128), dt)
+                      for dt in dts)
+    return pl.pallas_call(
+        _rowtrace2_kernel(fan, mid_words, fan_words, in_cap, occluded,
+                          cull),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(params, ts_blocks, ts_tre, *tiles)
+
+
+# ---------------------------------------------------------------------------
+# outer driver
+# ---------------------------------------------------------------------------
+
+_BUCKET_DIVS = (256, 64, 16, 4, 1)
+IN_CAP = 64
+
+
+def _bucket1024(n: int) -> int:
+    return -(-n // 1024) * 1024
+
+
+def _prefix_sizes(Rp: int) -> tuple:
+    sizes = []
+    for dv in _BUCKET_DIVS:
+        s = min(Rp, max(1024, _bucket1024(Rp // dv)))
+        if s not in sizes:
+            sizes.append(s)
+    return tuple(sorted(sizes))
+
+
+@functools.partial(jax.jit, static_argnames=("num_mids", "mid_words"))
+def _mid_mask_prepass(org, d, tn, tf, mid_boxes, num_mids: int,
+                      mid_words: int):
+    """XLA prepass: per-ray bitmask of entered mid boxes + first-mid
+    sort key. One O(M) pass per ray for the WHOLE traversal."""
+    rdx = _rcp_safe(d[:, 0])
+    rdy = _rcp_safe(d[:, 1])
+    rdz = _rcp_safe(d[:, 2])
+    orx = org[:, 0] * rdx
+    ory = org[:, 1] * rdy
+    orz = org[:, 2] * rdz
+    mb = mid_boxes.reshape(-1, 6)
+
+    def body(m, mm):
+        tmin, tmax = _slab(mb[m, 0], mb[m, 1], mb[m, 2],
+                           mb[m, 3], mb[m, 4], mb[m, 5],
+                           rdx, rdy, rdz, orx, ory, orz, tn)
+        ok = (tmin <= tmax) & (tmin <= tf)
+        bit = jax.lax.shift_left(jnp.int32(1), jnp.bitwise_and(m, 31))
+        out = []
+        for w in range(mid_words):
+            out.append(jnp.where(
+                ok & (jax.lax.shift_right_logical(m, 5) == w),
+                jnp.bitwise_or(mm[w], bit), mm[w]))
+        return tuple(out)
+
+    zero = jnp.zeros(org.shape[0], jnp.int32)
+    mm = jax.lax.fori_loop(0, num_mids, body, tuple([zero] * mid_words))
+    first = _ffs_words(list(mm))
+    key = jnp.where(first < BIG, first * 130, DONE_KEY)
+    return mm, key
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fan", "num_mids", "num_treelets",
+                                    "occluded", "cull", "interpret", "R",
+                                    "max_rounds"))
+def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
+                    fan: int, num_mids: int, num_treelets: int,
+                    occluded: bool, cull: bool, interpret: bool, R: int,
+                    max_rounds: int):
+    mid_words = max(1, -(-num_mids // 32))
+    fan_words = max(1, -(-fan // 32))
+    Rp = _bucket1024(R)
+    pad = Rp - R
+
+    mm, key = _mid_mask_prepass(org, d, tn, tf, mid_boxes, num_mids,
+                                mid_words)
+
+    def pc(x, fill, dt=jnp.float32):
+        return jnp.concatenate([x.astype(dt), jnp.full((pad,), fill, dt)])
+
+    zero_i = jnp.full((R,), 0, jnp.int32)
+    state = (
+        pc(org[:, 0], 0.0), pc(org[:, 1], 0.0), pc(org[:, 2], 0.0),
+        pc(d[:, 0], 1.0), pc(d[:, 1], 0.0), pc(d[:, 2], 0.0),
+        pc(tn, 0.0),
+        pc(tf, NINF),                                        # 7 t
+        pc(jnp.full((R,), -1, jnp.int32), -1, jnp.int32),    # 8 prim
+        pc(jnp.where(key < DONE_KEY, _PICK, _DONE), _DONE,
+           jnp.int32),                                       # 9 cur
+        pc(zero_i, 0, jnp.int32),                            # 10 seed
+        pc(jnp.arange(R, dtype=jnp.int32), R, jnp.int32),    # 11 rayid
+        pc(key, DONE_KEY, jnp.int32),                        # 12 key
+    ) + tuple(pc(m, 0, jnp.int32) for m in mm) \
+        + tuple(pc(zero_i, 0, jnp.int32) for _ in range(fan_words))
+
+    def sort_state(st):
+        out = jax.lax.sort((st[12],) + st, num_keys=1)[1:]
+        n_active = jnp.sum(out[12] != DONE_KEY)
+        return tuple(out), n_active
+
+    state, n_active = sort_state(state)
+    sizes = _prefix_sizes(Rp)
+
+    def round_at(size):
+        ntiles = size // 1024
+
+        def branch(st):
+            def t2(i):
+                return st[i][:size].reshape(-1, 128)
+            tiles = tuple(t2(i) for i in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+                          ) + tuple(t2(13 + w)
+                                    for w in range(mid_words + fan_words))
+            outs = _run_rowtrace2(blocks, tre_boxes, tiles, fan, mid_words,
+                                  fan_words, ntiles, IN_CAP, occluded,
+                                  cull, interpret)
+            st = list(st)
+
+            def fl(a):
+                return a.reshape(-1)
+
+            def merge(i, new):
+                st[i] = st[i].at[:size].set(fl(new))
+
+            merge(7, outs[0])
+            merge(8, outs[1])
+            merge(9, outs[2])
+            merge(10, outs[3])
+            merge(12, outs[4])
+            for w in range(mid_words + fan_words):
+                merge(13 + w, outs[5 + w])
+            sl = tuple(a[:size] for a in st)
+            sl2 = jax.lax.sort((sl[12],) + sl, num_keys=1)[1:]
+            st = tuple(f.at[:size].set(s) for f, s in zip(st, sl2))
+            n_act = jnp.sum(sl2[12] != DONE_KEY)
+            return st, n_act
+        return branch
+
+    branches = [round_at(s) for s in sizes]
+    cap = max_rounds if max_rounds else (1 << 16)
+
+    def body(carry):
+        st, n_act, rounds = carry
+        idx = jnp.int32(0)
+        for s in sizes[:-1]:
+            idx = idx + (n_act > s).astype(jnp.int32)
+        st, n_act = jax.lax.switch(idx, branches, st)
+        return st, n_act, rounds + 1
+
+    def cond(carry):
+        return (carry[1] > 0) & (carry[2] < cap)
+
+    state, n_active, rounds = jax.lax.while_loop(
+        cond, body, (state, n_active, jnp.int32(0)))
+
+    out = jax.lax.sort((state[11], state[7], state[8]), num_keys=1)
+    t = out[1][:R]
+    prim = out[2][:R]
+    if occluded:
+        return t, prim
+    miss = prim < 0
+    t = jnp.where(miss, tf.astype(jnp.float32), t)
+    return t, prim
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _rowtrace2_cv(arrs, static):
+    blocks, tre_boxes, mid_boxes, org, d, tn, tf = arrs
+    return _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf,
+                           **dict(static))
+
+
+def _rt2_fwd(arrs, static):
+    return _rowtrace2_cv(arrs, static), arrs
+
+
+def _rt2_bwd(static, arrs, ct):
+    # discrete hit selection: zero cotangents (gradients flow through
+    # diff/hit.py's re-evaluation, mirroring the stop-gradient split)
+    return (jax.tree.map(jnp.zeros_like, arrs),)
+
+
+_rowtrace2_cv.defvjp(_rt2_fwd, _rt2_bwd)
+
+
+def intersect_rowtrace2(ts: TreeletScene, rays: Rays,
+                        occluded: bool = False, cull: bool = False,
+                        interpret: bool = False, max_rounds: int = 0):
+    """Full traversal: (t, prim) flat over rays (prim = -1 miss;
+    occluded: t == -inf marks hits). Jittable; zero traversal grads."""
+    org = rays.org.reshape(-1, 3)
+    d = rays.dir.reshape(-1, 3)
+    tn = rays.tnear.reshape(-1)
+    tf = rays.tfar.reshape(-1)
+    R = tn.shape[0]
+    static = (("fan", ts.fan), ("num_mids", ts.num_mids),
+              ("num_treelets", ts.num_treelets),
+              ("occluded", bool(occluded)), ("cull", bool(cull)),
+              ("interpret", bool(interpret)), ("R", R),
+              ("max_rounds", int(max_rounds)))
+    arrs = (ts.blocks, ts.tre_boxes, ts.mid_boxes, org, d, tn, tf)
+    return _rowtrace2_cv(arrs, static)

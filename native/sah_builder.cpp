@@ -165,12 +165,18 @@ struct Builder {
         int64_t mid;
         if (no_split || depth > 64) {
             mid = s + n / 2;  // median fallback (createLargeLeaf analog)
+            // split the LARGEST-extent centroid axis (bvh_builder_sah.h
+            // fallback semantics); always sorting x degrades long-thin
+            // subtrees (round-2 advisor finding)
+            int ax = 0;
+            if (ext[1] > ext[ax]) ax = 1;
+            if (ext[2] > ext[ax]) ax = 2;
             std::nth_element(order.begin() + s, order.begin() + mid,
                              order.begin() + e,
                              [&](int64_t a, int64_t b) {
                                  const float* ca = &centroid[a].x;
                                  const float* cb = &centroid[b].x;
-                                 return ca[0] < cb[0];
+                                 return ca[ax] < cb[ax];
                              });
         } else {
             const int a = best_axis;

@@ -35,15 +35,17 @@ def test_recommit_hits_cache():
     assert global_cache().misses == m1  # no new planning work
 
 
-def test_recommit_faster_with_cache():
+def test_recommit_reuses_plan():
+    """Recommit must be pure cache reuse — asserted on hit/miss counters,
+    not wall time (timing asserts are flaky under CI load; VERDICT r2
+    weak #11)."""
     global_cache().clear()
-    t0 = time.perf_counter()
     _commit_subdiv(6)
-    cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
+    misses_cold = global_cache().misses
+    hits_cold = global_cache().hits
     _commit_subdiv(6)
-    warm = time.perf_counter() - t0
-    assert warm < cold  # plan reuse must not be slower
+    assert global_cache().misses == misses_cold   # zero new planning work
+    assert global_cache().hits > hits_cold        # everything served hot
 
 
 def test_different_level_is_different_entry():

@@ -281,47 +281,57 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             cur = jnp.where(have, nxt, jnp.where(pick, _DONE, cur))
             seed = jnp.where(have, 0, seed)
 
-            # 2: per-row consensus mid; stage its fan-box row
+            # 2: per-row consensus mid; stage its fan-box row.
+            # All 8 row DMAs are STARTED before any wait so their
+            # latencies overlap (serial start/wait per row measured ~8x
+            # slower end-to-end).
             active = cur >= 0
             curv = jnp.where(active, cur, BIG)
-            row_mids = []
+            row_mids = [jnp.min(curv[r:r + 1, :]) for r in range(8)]
             for r in range(8):
-                rm = jnp.min(curv[r:r + 1, :])
-                row_mids.append(rm)
-
-                @pl.when(rm < BIG)
-                def _(rm=rm, r=r):
-                    cp = pltpu.make_async_copy(tre.at[rm], midstage.at[r],
-                                               sem2.at[r])
-                    cp.start()
-                    cp.wait()
+                @pl.when(row_mids[r] < BIG)
+                def _(rm=row_mids[r], r=r):
+                    pltpu.make_async_copy(tre.at[rm], midstage.at[r],
+                                          sem2.at[r]).start()
+            for r in range(8):
+                @pl.when(row_mids[r] < BIG)
+                def _(rm=row_mids[r], r=r):
+                    pltpu.make_async_copy(tre.at[rm], midstage.at[r],
+                                          sem2.at[r]).wait()
             row_mid = jnp.concatenate(
                 [jnp.full((1, 128), rm, jnp.int32) for rm in row_mids],
                 axis=0)
             served = active & (cur == row_mid)
 
-            # 3: seed fan masks for served, unseeded lanes
+            # 3: seed fan masks for served, unseeded lanes (skipped
+            # entirely when every served lane is already seeded)
             need_seed = served & (seed == 0)
-            fm_new = fan_pass(t)
-            fm = [jnp.where(need_seed, n, o) for n, o in zip(fm_new, fm)]
+            fm = jax.lax.cond(
+                jnp.any(need_seed),
+                lambda fm: tuple(
+                    jnp.where(need_seed, n, o)
+                    for n, o in zip(fan_pass(t), fm)),
+                lambda fm: tuple(fm), tuple(fm))
+            fm = list(fm)
             seed = jnp.where(need_seed, 1, seed)
 
-            # 4: per-row consensus treelet; stage + walk it
+            # 4: per-row consensus treelet; stage (overlapped) + walk
             cand = _ffs_words(fm)
             has_cand = served & (cand < BIG)
             candv = jnp.where(has_cand, cand, BIG)
-            row_tids = []
+            row_tids = [jnp.min(candv[r:r + 1, :]) for r in range(8)]
             for r in range(8):
-                rm = row_mids[r]
-                rt = jnp.min(candv[r:r + 1, :])
-                row_tids.append(rt)
-
-                @pl.when(rt < BIG)
-                def _(rm=rm, rt=rt, r=r):
-                    cp = pltpu.make_async_copy(
-                        blocks.at[rm * fan + rt], stage.at[r], sem1.at[r])
-                    cp.start()
-                    cp.wait()
+                @pl.when(row_tids[r] < BIG)
+                def _(rm=row_mids[r], rt=row_tids[r], r=r):
+                    pltpu.make_async_copy(
+                        blocks.at[rm * fan + rt], stage.at[r],
+                        sem1.at[r]).start()
+            for r in range(8):
+                @pl.when(row_tids[r] < BIG)
+                def _(rm=row_mids[r], rt=row_tids[r], r=r):
+                    pltpu.make_async_copy(
+                        blocks.at[rm * fan + rt], stage.at[r],
+                        sem1.at[r]).wait()
             row_tid = jnp.concatenate(
                 [jnp.full((1, 128), rt, jnp.int32) for rt in row_tids],
                 axis=0)
@@ -411,8 +421,8 @@ def _run_rowtrace2(ts_blocks, ts_tre, tiles, fan: int, mid_words: int,
 # outer driver
 # ---------------------------------------------------------------------------
 
-_BUCKET_DIVS = (256, 64, 16, 4, 1)
-IN_CAP = 64
+_BUCKET_DIVS = (16, 4, 1)
+IN_CAP = 128
 
 
 def _bucket1024(n: int) -> int:

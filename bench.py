@@ -1,23 +1,33 @@
 """Driver benchmark: prints ONE JSON line.
 
-Metric: incoherent-ray forward+backward throughput (Mray/s) on one chip —
-the BASELINE.md "Mrays/s/chip, forward+backward, incoherent paths" axis.
-Forward = pallas packet megakernel over stream-sorted rays; backward =
-jax.grad through the differentiable hit re-evaluation (pixel -> vertex
-gradients), with hit selection under stop_gradient (diff/hit.py).
+Metric: incoherent-ray forward+backward throughput (Mray/s) on one chip
+at REFERENCE BENCHMARK SCALE — a ~1M-triangle scene (the reference's
+incoherent benchmarks use 1M-prim scenes, verify.cpp:4473-4560) with 1M
+random rays, fwd+bwd: forward through the rowtrace2 treelet kernel (the
+per-lane incoherent fast path; HBM-resident treelet blocks), backward =
+jax.grad of the loss through the differentiable hit re-evaluation
+(pixel -> vertex gradients; hit selection under the traversal's
+zero-grad custom_vjp). The whole fwd+bwd step is ONE jitted program —
+no host round trips.
 
 Baseline constant: 10 Mray/s, an embree-class single-core CPU incoherent
 figure (the reference publishes no stored numbers — BASELINE.md), so
-vs_baseline = value / 10.
+vs_baseline = value / 10. See BASELINE.md "Roofline" for the honest
+utilization analysis of this number.
 
 NOTE (axon): the fused jit program's FIRST-ever compile takes minutes on
 the remote compiler but is server-cached; steady state is one dispatch.
+`jax.block_until_ready` can silently not block on axon — timing forces a
+host transfer of the loss value every rep.
 """
 import json
 import sys
 import time
 
 import numpy as np
+
+SCENE_RES = 707       # triangle_sphere(707) = 998,284 triangles
+N_RAYS = 1 << 20
 
 
 def main() -> int:
@@ -30,20 +40,20 @@ def main() -> int:
     from embree_tpu.verify.fixtures import triangle_sphere
 
     rng = np.random.default_rng(0xBE7C4)
-    verts, idx = triangle_sphere((0.0, 0.0, 0.0), 2.0, 40)  # 3200 tris
+    verts, idx = triangle_sphere((0.0, 0.0, 0.0), 2.0, SCENE_RES)
     dev = et.Device("ignore_config_files=1")
     scene = et.Scene(dev)
     scene.attach(et.TriangleMesh(verts, idx))
     cs = scene.commit()
 
-    n = 1 << 20
+    n = N_RAYS
     d = rng.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     org = rng.uniform(-3.0, 3.0, (n, 3)).astype(np.float32)
     rays = et.make_rays(org, d)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    isa = "default" if (on_tpu and cs.pallas is not None) else "xla"
+    isa = "default" if (on_tpu and cs.rowtrace is not None) else "xla"
 
     idxj = np.asarray(idx)  # numpy: captured by the jitted loss_fn
 
@@ -61,18 +71,19 @@ def main() -> int:
     f = jax.jit(jax.value_and_grad(loss_fn))
     vparam = jnp.asarray(verts)
 
-    out = jax.block_until_ready(f(vparam, cs, rays))  # warmup/compile
-    assert np.isfinite(float(out[0]))
+    v0 = float(f(vparam, cs, rays)[0])     # warmup/compile + forced sync
+    assert np.isfinite(v0)
     reps = 8
     t0 = time.perf_counter()
-    outs = [f(vparam, cs, rays) for _ in range(reps)]
-    jax.block_until_ready(outs)
+    for _ in range(reps):
+        out = f(vparam, cs, rays)
+        _ = float(out[0])                  # host sync each rep
     dt = time.perf_counter() - t0
     mrayps = reps * n / dt / 1e6
 
     baseline = 10.0
     print(json.dumps({
-        "metric": "incoherent_fwdbwd_mrayps",
+        "metric": "incoherent_fwdbwd_mrayps_1Mprims",
         "value": round(mrayps, 3),
         "unit": "Mray/s",
         "vs_baseline": round(mrayps / baseline, 3),

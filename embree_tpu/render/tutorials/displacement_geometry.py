@@ -68,21 +68,17 @@ def build_scene(subdiv_mode=None, subdiv_level=SUBDIVISION_LEVEL,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
-def render(cscene: CommittedScene, cam_vx, cam_vy, cam_vz, cam_p,
-           perm=None, inv=None, *, width: int, height: int):
+def trace(cscene: CommittedScene, cam_vx, cam_vy, cam_vz, cam_p,
+          perm=None, inv=None, *, width: int, height: int):
+    """Primary + shadow trace; returns flat image-row-ordered hit fields
+    so shading variants (raw Ng here; smooth limit normals in
+    subdivision_geometry) share one traced program."""
     x, y = pixel_coords(width, height, perm)
     d = normalize(x[..., None] * cam_vx + y[..., None] * cam_vy + cam_vz)
     org = jnp.broadcast_to(cam_p, d.shape)
     rays = Rays(org, d, jnp.zeros(d.shape[:-1], jnp.float32),
                 jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
     hits = scene_intersect(cscene, rays, coherent=True)
-    valid = hits.valid
-
-    # diffuse: plane (geom 0) red, cube salmon (:217)
-    diffuse = jnp.where((hits.geom_id != 0)[..., None],
-                        jnp.asarray([0.9, 0.6, 0.5]),
-                        jnp.asarray([0.8, 0.0, 0.0]))
-    color = jnp.where(valid[..., None], 0.5 * diffuse, 0.0)
 
     light_dir = normalize(jnp.asarray([-1.0, -1.0, -1.0]))
     hit_p = org + hits.t[..., None] * d
@@ -90,20 +86,43 @@ def render(cscene: CommittedScene, cam_vx, cam_vy, cam_vz, cam_p,
                   jnp.full(d.shape[:-1], 1e-3, jnp.float32),
                   jnp.full(d.shape[:-1], jnp.inf, jnp.float32))
     occ = scene_occluded(cscene, shadow, coherent=True)
+    out = (hits.valid, occ, hits.geom_id, hits.prim_id, hits.u, hits.v,
+           hits.ng, d)
+    if inv is not None:
+        out = tuple(a[inv] for a in out)
+    return out
 
-    # compressed hits carry the dummy Ng (1,0,0): fall back to facing the
-    # ray when |ng| is the dummy (ENABLE_SMOOTH_NORMALS=0 in the reference
-    # uses raw Ng; grid/eager modes have true normals)
-    ng = normalize(hits.ng)
-    dummy = (hits.ng[..., 0] == 1.0) & (hits.ng[..., 1] == 0.0) \
-        & (hits.ng[..., 2] == 0.0)
-    ng = jnp.where(dummy[..., None], -d, ng)
-    ndotl = jnp.clip(-dot(jnp.broadcast_to(light_dir, d.shape), ng), 0.0, 1.0)
+
+def _shade(valid, occ, geom_id, ng, d, width, height):
+    """0.5*diffuse ambient + shadowed n.l — the shading shared by the
+    subdivision/displacement tutorials (:226-240)."""
+    diffuse = jnp.where((geom_id != 0)[..., None],
+                        jnp.asarray([0.9, 0.6, 0.5]),
+                        jnp.asarray([0.8, 0.0, 0.0]))
+    color = jnp.where(valid[..., None], 0.5 * diffuse, 0.0)
+    light_dir = normalize(jnp.asarray([-1.0, -1.0, -1.0]))
+    # `ng` must arrive normalized (callers normalize exactly once —
+    # double normalization would perturb the bit-exact golden gates)
+    ndotl = jnp.clip(-dot(jnp.broadcast_to(light_dir, d.shape), ng),
+                     0.0, 1.0)
     color = color + jnp.where((valid & ~occ)[..., None],
                               diffuse * ndotl[..., None], 0.0)
-    if inv is not None:
-        color = color[inv]
     return color.reshape(height, width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def render(cscene: CommittedScene, cam_vx, cam_vy, cam_vz, cam_p,
+           perm=None, inv=None, *, width: int, height: int):
+    valid, occ, geom_id, _prim, _u, _v, ng, d = trace(
+        cscene, cam_vx, cam_vy, cam_vz, cam_p, perm, inv,
+        width=width, height=height)
+    # compressed hits carry the dummy Ng (1,0,0): fall back to facing the
+    # ray when |ng| is the dummy (the displacement tutorial uses raw Ng;
+    # grid/eager modes have true normals)
+    ngn = normalize(ng)
+    dummy = (ng[..., 0] == 1.0) & (ng[..., 1] == 0.0) & (ng[..., 2] == 0.0)
+    ngn = jnp.where(dummy[..., None], -d, ngn)
+    return _shade(valid, occ, geom_id, ngn, d, width, height)
 
 
 def render_frame(state, camera: Camera, size):

@@ -70,13 +70,17 @@ class CommittedScene:
 
     _CHILDREN = ("bvh", "tris", "pallas", "compressed", "compressed_pallas",
                  "instances", "user_bvhs", "mb", "world_lower", "world_upper",
-                 "prim_mask", "rowtrace")
+                 "prim_mask", "rowtrace", "tri_patch_uv")
 
     def __init__(self, bvh, tris, pallas, compressed, compressed_pallas,
                  world_lower, world_upper, instances=(), user_bvhs=(),
                  users=(), mb=None, prim_mask=None, backface_cull=False,
-                 rowtrace=None):
+                 rowtrace=None, tri_patch_uv=None):
         self.rowtrace = rowtrace    # Optional[TreeletScene] (per-lane path)
+        # (T,3,2) PATCH uv corners per flattened tri (only when the scene
+        # has eager-subdiv geometry): hits report patch (u,v), the
+        # GridSOA semantics (grid_soa_intersector1.h:60-117)
+        self.tri_patch_uv = tri_patch_uv
         self.bvh = bvh
         self.tris = tris
         self.pallas = pallas
@@ -111,6 +115,15 @@ class CommittedScene:
 
 def _as_np_f32(a):
     return np.asarray(a, np.float32)
+
+
+_IDENT_UV3_ROW = np.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32)
+
+
+def _IDENT_UV3(n):
+    """Identity patch-uv corners: the remap w0*c0 + u*c1 + v*c2 returns
+    (u, v) unchanged for plain triangle/quad prims."""
+    return np.broadcast_to(_IDENT_UV3_ROW, (n, 3, 2))
 
 
 # Per-lane treelet path thresholds: build the treelet accel for scenes at
@@ -195,6 +208,8 @@ class Scene:
         users = []
         user_bvhs = []
         mb_geoms = []
+        tri_uv3 = []          # (n,3,2) PATCH uv corners per tri (subdiv
+        any_patch_uv = False  # eager path); identity barycentric otherwise
 
         for gid, g in sorted(self.geometries.items()):
             if not g.enabled:
@@ -209,6 +224,7 @@ class Scene:
                 tri_geom.append(np.full(n, gid, np.int32))
                 tri_prim.append(np.arange(n, dtype=np.int32))
                 tri_flip.append(np.zeros(n, np.int32))
+                tri_uv3.append(_IDENT_UV3(n))
             elif isinstance(g, QuadMesh):
                 v = _as_np_f32(g.vertices)
                 idx = g.indices
@@ -219,6 +235,7 @@ class Scene:
                 tri_geom.append(np.full(2 * n, gid, np.int32))
                 tri_prim.append(np.concatenate([np.arange(n, dtype=np.int32)] * 2))
                 tri_flip.append(np.concatenate([np.zeros(n, np.int32), np.ones(n, np.int32)]))
+                tri_uv3.append(_IDENT_UV3(2 * n))
             elif isinstance(g, SubdivMesh):
                 mode = self._subdiv_mode()
                 if mode is not None:
@@ -227,13 +244,16 @@ class Scene:
                     # stock path: eager uniform tessellation to triangles
                     # (the BVHNSubdivPatch1EagerBuilderSAH analog,
                     # bvh_builder_subdiv.cpp:48)
-                    from ..subdiv.api import tessellate_to_triangles
-                    v0, v1, v2, prim = tessellate_to_triangles(
-                        g, self.subdivision_level)
+                    from ..subdiv.tessellate import \
+                        tessellate_mesh_to_triangles
+                    v0, v1, v2, prim, uv3 = tessellate_mesh_to_triangles(
+                        g, self.subdivision_level, with_uv=True)
                     tri_v0.append(v0); tri_v1.append(v1); tri_v2.append(v2)
                     tri_geom.append(np.full(v0.shape[0], gid, np.int32))
                     tri_prim.append(prim.astype(np.int32))
                     tri_flip.append(np.zeros(v0.shape[0], np.int32))
+                    tri_uv3.append(uv3)
+                    any_patch_uv = True
             elif isinstance(g, (TriangleMeshMB, SubdivMeshMB)):
                 mb_geoms.append((gid, g))
             elif isinstance(g, Instance):
@@ -289,8 +309,11 @@ class Scene:
                 jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
                 jnp.asarray(geom), jnp.asarray(prim), jnp.asarray(flip))
             lower, upper = prim_bounds_np(v0, v1, v2)
+            tri_patch_uv = (jnp.asarray(np.concatenate(tri_uv3))
+                            if any_patch_uv else None)
         else:
             tris = empty_triangle_prims()
+            tri_patch_uv = None
             prim_mask = jnp.zeros((0,), jnp.int32)
             lower = np.zeros((0, 3), np.float32)
             upper = np.zeros((0, 3), np.float32)
@@ -331,10 +354,15 @@ class Scene:
             if (nprims >= ROWTRACE_MIN_PRIMS
                     or ta.endswith(".rowtrace")) and not ta.endswith(".packet"):
                 from ..build.treelets import build_treelet_scene, choose_fan
+                from ..traverse.rowtrace2 import fits_rowtrace2
                 with profile_phase("scene.build_treelets"):
-                    rowtrace = build_treelet_scene(
+                    ts_np = build_treelet_scene(
                         v0, v1, v2, np.arange(nprims, dtype=np.int64),
-                        fan=choose_fan(nprims)).to_device()
+                        fan=choose_fan(nprims))
+                    # mid-mask capacity cap (~8M prims); larger scenes
+                    # keep the packet kernel
+                    if fits_rowtrace2(ts_np.num_mids, ts_np.fan):
+                        rowtrace = ts_np.to_device()
 
         # compressed subdiv accel (fork modes, scene.cpp:507-510)
         compressed = None
@@ -376,6 +404,7 @@ class Scene:
 
         self.committed = CommittedScene(bvh=bvh, tris=tris, pallas=pallas_scene,
                                         rowtrace=rowtrace,
+                                        tri_patch_uv=tri_patch_uv,
                                         compressed=compressed,
                                         compressed_pallas=compressed_pallas,
                                         world_lower=wl, world_upper=wu,
@@ -723,6 +752,24 @@ def _use_pallas(cs: CommittedScene, isa: str) -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+
+def _apply_patch_uv(cs: "CommittedScene", h: Hits) -> Hits:
+    """Remap triangle-barycentric (u, v) to PATCH uv for eager-subdiv
+    prims (GridSOA hit semantics, grid_soa_intersector1.h:60-117):
+    uv = w0*c0 + u*c1 + v*c2 with per-tri corner table; plain prims
+    carry identity corners so the remap is the identity for them."""
+    if cs.tri_patch_uv is None:
+        return h
+    gp = jnp.maximum(h.gprim, 0)
+    c = cs.tri_patch_uv[gp]
+    w0 = (1.0 - h.u - h.v)[..., None]
+    uv = (c[..., 0, :] * w0 + c[..., 1, :] * h.u[..., None]
+          + c[..., 2, :] * h.v[..., None])
+    keep = h.gprim >= 0
+    return h._replace(u=jnp.where(keep, uv[..., 0], h.u),
+                      v=jnp.where(keep, uv[..., 1], h.v))
+
+
 def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
                     _sorted: bool = False, time=None,
                     filter_fn=None, coherent: bool = False,
@@ -746,13 +793,13 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
             and cs.compressed is None and cs.mb is None
             and not cs.users and not cs.instances):
         from ..traverse.packet import _finalize_hits
-        from ..traverse.rowtrace import intersect_rowtrace
+        from ..traverse.rowtrace2 import intersect_rowtrace2
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-        t_u, prim_u = intersect_rowtrace(cs.rowtrace, flat,
-                                         cull=cs.backface_cull,
-                                         interpret=_pallas_interpret())
-        h = _finalize_hits(cs.tris, flat, t_u, prim_u)
+        t_u, prim_u = intersect_rowtrace2(cs.rowtrace, flat,
+                                          cull=cs.backface_cull,
+                                          interpret=_pallas_interpret())
+        h = _apply_patch_uv(cs, _finalize_hits(cs.tris, flat, t_u, prim_u))
         return jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), h)
     # RTC_INTERSECT_CONTEXT_FLAG_COHERENT analog: callers tracing already-
     # coherent rays (primary/camera) skip the stream sort+unsort entirely
@@ -778,7 +825,8 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
                 cs.pallas, srays, interpret=_pallas_interpret(),
                 cull=cs.backface_cull)
             t_u, prim_u = unsort_by_perm(perm, t_s, prim_s)
-            h = _finalize_hits(cs.tris, flat, t_u, prim_u)
+            h = _apply_patch_uv(cs,
+                                _finalize_hits(cs.tris, flat, t_u, prim_u))
             return jax.tree.map(
                 lambda x: x.reshape(shape + x.shape[1:]), h)
         srays, perm, inv = sort_rays_perm(flat, cs.world_lower,
@@ -798,9 +846,10 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
         hits = miss_hits(shape, rays.tfar)
     elif _use_pallas(cs, isa) and filter_fn is None and ray_mask is None:
         from ..traverse.pallas_packet import intersect_pallas
-        hits = intersect_pallas(cs.pallas, cs.tris, rays,
-                                interpret=_pallas_interpret(),
-                                cull=cs.backface_cull)
+        hits = _apply_patch_uv(
+            cs, intersect_pallas(cs.pallas, cs.tris, rays,
+                                 interpret=_pallas_interpret(),
+                                 cull=cs.backface_cull))
     else:
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
@@ -810,7 +859,8 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
         h = intersect_chunked(cs.bvh, cs.tris, flat, filter_fn=filter_fn,
                               prim_mask=cs.prim_mask, ray_mask=rm,
                               backface_cull=cs.backface_cull)
-        hits = jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]), h)
+        hits = jax.tree.map(lambda x: x.reshape(shape + x.shape[1:]),
+                            _apply_patch_uv(cs, h))
 
     if cs.compressed is not None:
         from ..traverse.cbvh import compressed_hits, intersect_compressed
@@ -900,12 +950,12 @@ def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
             and ray_mask is None
             and cs.compressed is None and cs.mb is None
             and not cs.users and not cs.instances):
-        from ..traverse.rowtrace import intersect_rowtrace
+        from ..traverse.rowtrace2 import intersect_rowtrace2
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
-        t_u, _ = intersect_rowtrace(cs.rowtrace, flat, occluded=True,
-                                    cull=cs.backface_cull,
-                                    interpret=_pallas_interpret())
+        t_u, _ = intersect_rowtrace2(cs.rowtrace, flat, occluded=True,
+                                     cull=cs.backface_cull,
+                                     interpret=_pallas_interpret())
         return (t_u == -np.inf).reshape(shape)
     # RTC_INTERSECT_CONTEXT_FLAG_COHERENT analog: callers tracing already-
     # coherent rays (primary/camera) skip the stream sort+unsort entirely

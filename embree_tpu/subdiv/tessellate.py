@@ -144,10 +144,16 @@ def vertex_normals(verts: np.ndarray, quads: np.ndarray) -> np.ndarray:
     return out / np.maximum(ln, 1e-20)
 
 
-def tessellate_mesh_to_triangles(mesh, subdivision_level: int):
+def tessellate_mesh_to_triangles(mesh, subdivision_level: int,
+                                 with_uv: bool = False):
     """Scene.commit entry: SubdivMesh -> (v0, v1, v2, prim_id) triangle
     soup with displacement applied (eager path, the stand-in until the
-    compressed cBVH accel consumes the patch grids directly)."""
+    compressed cBVH accel consumes the patch grids directly).
+
+    with_uv=True additionally returns (T, 3, 2) PATCH-space uv corners
+    per triangle so hits can report reference-exact subdiv (u, v) —
+    ray.u/v on GridSOA leaves are patch coordinates
+    (grid_soa_intersector1.h:60-117), not micro-triangle barycentrics."""
     from .cache import global_cache, plan_nbytes, topology_key
     L = max(int(subdivision_level), 1)
     nv = int(np.asarray(mesh.vertices).shape[0])
@@ -185,5 +191,21 @@ def tessellate_mesh_to_triangles(mesh, subdivision_level: int):
     v1 = np.concatenate([p1, p3])
     v2 = np.concatenate([p3, p1])
     prim = np.concatenate([face_of_quad, face_of_quad]).astype(np.int64)
-    return (v0.astype(np.float32), v1.astype(np.float32),
-            v2.astype(np.float32), prim)
+    out = (v0.astype(np.float32), v1.astype(np.float32),
+           v2.astype(np.float32), prim)
+    if not with_uv:
+        return out
+
+    # per-quad patch-space corner uvs from the (patch, i, j, rot) track:
+    # quad corner k sits at patch grid cell corner (i,j) + DIJ[(k+rot)%4],
+    # at scale 1/2^depth (matches build_patch_grids' vertex placement)
+    patch, ci, cj, rot, depth, _pf, _ps, _P, _isq = track_patches(plan)
+    g = (1 << depth).astype(np.float32)
+    cuv = np.empty((quads.shape[0], 4, 2), np.float32)
+    for k in range(4):
+        pk = (k + rot) % 4
+        cuv[:, k, 0] = (ci + _CORNER_DIJ[pk][:, 0]) / g
+        cuv[:, k, 1] = (cj + _CORNER_DIJ[pk][:, 1]) / g
+    # triangle split mirrors the vertex split: (q0,q1,q3) and (q2,q3,q1)
+    uv3 = np.concatenate([cuv[:, [0, 1, 3]], cuv[:, [2, 3, 1]]])
+    return out + (uv3,)

@@ -421,8 +421,23 @@ def _run_rowtrace2(ts_blocks, ts_tre, tiles, fan: int, mid_words: int,
 # outer driver
 # ---------------------------------------------------------------------------
 
-_BUCKET_DIVS = (16, 4, 1)
-IN_CAP = 128
+_BUCKET_DIVS = (256, 64, 16, 4, 1)
+
+
+def _in_cap_for(size: int, Rp: int) -> int:
+    """Regroup cadence: while many rays are active, global sorts keep
+    rows coherent, so resort after a FEW in-kernel turns; once the
+    active set is small (fragmented groups), let the kernel chew long
+    chains in-place instead of paying dispatch+sort per unit."""
+    if size >= Rp:
+        return 6
+    if size * 4 >= Rp:
+        return 12
+    if size * 16 >= Rp:
+        return 24
+    if size * 64 >= Rp:
+        return 64
+    return 256
 
 
 def _bucket1024(n: int) -> int:
@@ -515,6 +530,7 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
 
     def round_at(size):
         ntiles = size // 1024
+        in_cap = _in_cap_for(size, Rp)
 
         def branch(st):
             def t2(i):
@@ -523,7 +539,7 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
                           ) + tuple(t2(13 + w)
                                     for w in range(mid_words + fan_words))
             outs = _run_rowtrace2(blocks, tre_boxes, tiles, fan, mid_words,
-                                  fan_words, ntiles, IN_CAP, occluded,
+                                  fan_words, ntiles, in_cap, occluded,
                                   cull, interpret)
             st = list(st)
 

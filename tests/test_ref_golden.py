@@ -82,3 +82,15 @@ def test_ref_bomberman():
     img, _ = viewer.render_frame(state, cam, (160, 96))
     # ~1% silhouette/patch-seam pixels differ at 160x96
     _gate(img, "ref_bomberman_160.pfm", 0.025)
+
+
+def test_ref_subdivision_geometry():
+    """Stock eager subdiv accel (reference default, scene.cpp:494-500):
+    smooth uncreased limit cube (the tutorial binds crease buffers with
+    itemCount 0) with smooth normals Ng = cross(dPdu, dPdv) at hits —
+    exercises the patch-uv hit semantics end to end."""
+    from embree_tpu.render.tutorials import subdivision_geometry as sg
+    state = sg.build_scene(subdiv_level=6)
+    cam = Camera(from_=(1.5, 1.5, -1.5), to=(0, 0, 0))
+    img, _ = sg.render_frame(state, cam, (128, 128))
+    _gate(img, "ref_subdivision_128.pfm", 0.002)

@@ -33,3 +33,5 @@ done
 cp $G/bomberman.obj /tmp/ && cp /root/reference/build/bomberman.ecs /tmp/
 (cd /tmp && $OLDPWD/$B/viewer -c bomberman.ecs -o $OLDPWD/$G/ref_bomberman_160.pfm \
     --size 160 96)
+$B/subdivision_geometry -o $G/ref_subdivision_128.pfm --size 128 128 \
+    --vp 1.5 1.5 -1.5 --vi 0 0 0

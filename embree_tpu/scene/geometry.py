@@ -79,11 +79,17 @@ class SubdivMesh(Geometry):
                  edge_creases=None, edge_crease_weights=None,
                  vertex_creases=None, vertex_crease_weights=None,
                  holes=None, displacement=None,
-                 tessellation_rate: int = 2):
+                 tessellation_rate: int = 2, edge_levels=None):
         super().__init__()
         self.vertices = vertices                              # (V, 3)
         self.face_counts = np.asarray(face_counts, np.int32)  # (F,)
         self.face_indices = np.asarray(face_indices, np.int32)  # (sum counts,)
+        # RTC_BUFFER_TYPE_LEVEL analog: per face-corner tessellation rate
+        # for the edge (v_k, v_{k+1}) of each face, or None for uniform
+        # (rtcore_geometry.h LEVEL buffer; honored by the eager accel
+        # with crack-free stitching — tessellation.h:77 semantics)
+        self.edge_levels = (None if edge_levels is None
+                            else np.asarray(edge_levels, np.float32))
         self.edge_creases = edge_creases
         self.edge_crease_weights = edge_crease_weights
         self.vertex_creases = vertex_creases

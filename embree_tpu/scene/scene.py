@@ -244,10 +244,21 @@ class Scene:
                     # stock path: eager uniform tessellation to triangles
                     # (the BVHNSubdivPatch1EagerBuilderSAH analog,
                     # bvh_builder_subdiv.cpp:48)
-                    from ..subdiv.tessellate import \
-                        tessellate_mesh_to_triangles
-                    v0, v1, v2, prim, uv3 = tessellate_mesh_to_triangles(
-                        g, self.subdivision_level, with_uv=True)
+                    from ..subdiv.tessellate import (
+                        tessellate_mesh_to_triangles,
+                        tessellate_mesh_to_triangles_levels)
+                    if g.edge_levels is not None:
+                        # RTC_BUFFER_TYPE_LEVEL: per-edge rates with
+                        # crack-free stitching (tessellation.h:77)
+                        v0, v1, v2, prim, uv3 = \
+                            tessellate_mesh_to_triangles_levels(
+                                g, g.edge_levels,
+                                max_level=self.subdivision_level,
+                                with_uv=True)
+                    else:
+                        v0, v1, v2, prim, uv3 = \
+                            tessellate_mesh_to_triangles(
+                                g, self.subdivision_level, with_uv=True)
                     tri_v0.append(v0); tri_v1.append(v1); tri_v2.append(v2)
                     tri_geom.append(np.full(v0.shape[0], gid, np.int32))
                     tri_prim.append(prim.astype(np.int32))

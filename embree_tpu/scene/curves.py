@@ -48,15 +48,24 @@ class BezierCurves(Geometry):
     vertices: (V, 4) xyzr control points; indices: (C,) first control
     point of each cubic curve; tessellation_rate segments per curve."""
 
-    def __init__(self, vertices, indices, tessellation_rate: int = 8):
+    def __init__(self, vertices, indices, tessellation_rate: int = 8,
+                 flat: bool = False):
         super().__init__()
         self.vertices = np.asarray(vertices, np.float32)
         self.indices = np.asarray(indices, np.int32)
         self.tessellation_rate = int(tessellation_rate)
+        self.flat = bool(flat)   # FLAT (ribbon) vs ROUND curve type
 
     @property
     def num_prims(self) -> int:
         return int(self.indices.shape[0])
+
+    def to_bezier(self):
+        """(C, 4, 3) Bezier control points + (C, 4) radii."""
+        v = self.vertices
+        i = self.indices
+        cp = np.stack([v[i], v[i + 1], v[i + 2], v[i + 3]], axis=1)
+        return cp[:, :, :3].copy(), cp[:, :, 3].copy()
 
     def to_segments(self):
         """Uniformly tessellate each cubic Bezier into R segments."""
@@ -84,15 +93,28 @@ class BSplineCurves(Geometry):
     control polygon yields C1-continuous hair, as in
     curve_geometry_device.cpp:66-76)."""
 
-    def __init__(self, vertices, indices, tessellation_rate: int = 8):
+    def __init__(self, vertices, indices, tessellation_rate: int = 8,
+                 flat: bool = False):
         super().__init__()
         self.vertices = np.asarray(vertices, np.float32)
         self.indices = np.asarray(indices, np.int32)
         self.tessellation_rate = int(tessellation_rate)
+        self.flat = bool(flat)
 
     @property
     def num_prims(self) -> int:
         return int(self.indices.shape[0])
+
+    def to_bezier(self):
+        """(C, 4, 3) + (C, 4): B-spline spans converted to Bezier
+        (bspline_curve.h basis conversion)."""
+        from ..build.hair import bezier_from_bspline
+        v = self.vertices
+        i = self.indices
+        cp = np.stack([v[i], v[i + 1], v[i + 2], v[i + 3]], axis=1)
+        bz = bezier_from_bspline(cp)
+        return (bz[:, :, :3].astype(np.float32),
+                bz[:, :, 3].astype(np.float32))
 
     def to_segments(self):
         """Uniform cubic B-spline basis (bspline_curve.h BSplineBasis):

@@ -70,12 +70,13 @@ class CommittedScene:
 
     _CHILDREN = ("bvh", "tris", "pallas", "compressed", "compressed_pallas",
                  "instances", "user_bvhs", "mb", "world_lower", "world_upper",
-                 "prim_mask", "rowtrace", "tri_patch_uv")
+                 "prim_mask", "rowtrace", "tri_patch_uv", "hair_bvhs")
 
     def __init__(self, bvh, tris, pallas, compressed, compressed_pallas,
                  world_lower, world_upper, instances=(), user_bvhs=(),
                  users=(), mb=None, prim_mask=None, backface_cull=False,
-                 rowtrace=None, tri_patch_uv=None):
+                 rowtrace=None, tri_patch_uv=None, hair_bvhs=(),
+                 hairs=()):
         self.rowtrace = rowtrace    # Optional[TreeletScene] (per-lane path)
         # (T,3,2) PATCH uv corners per flattened tri (only when the scene
         # has eager-subdiv geometry): hits report patch (u,v), the
@@ -94,23 +95,34 @@ class CommittedScene:
         self.world_upper = world_upper
         self.prim_mask = prim_mask      # (T,) i32 per-prim geom mask or None
         self.backface_cull = backface_cull  # STATIC (EMBREE_BACKFACE_CULLING)
+        # hair OBB accel (build/hair.py): per-cluster rotated BVHs
+        # (pytree) + STATIC per-cluster intersector closures
+        self.hair_bvhs = tuple(hair_bvhs)
+        self.hairs = tuple(hairs)       # STATIC: (geom_id, cluster_fn)
 
     def _replace(self, **kw):
         d = {k: getattr(self, k) for k in self._CHILDREN}
         d["users"] = self.users
         d["backface_cull"] = self.backface_cull
+        d["hairs"] = self.hairs
         d.update(kw)
         return CommittedScene(**d)
 
     def tree_flatten(self):
         return ([getattr(self, k) for k in self._CHILDREN],
-                (self.users, self.backface_cull))
+                (self.users, self.backface_cull, self.hairs))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         kw = dict(zip(cls._CHILDREN, children))
-        users, cull = aux if isinstance(aux, tuple) and len(aux) == 2 else (aux, False)
-        return cls(users=users, backface_cull=cull, **kw)
+        if isinstance(aux, tuple) and len(aux) == 3:
+            users, cull, hairs = aux
+        elif isinstance(aux, tuple) and len(aux) == 2:
+            users, cull = aux
+            hairs = ()
+        else:
+            users, cull, hairs = aux, False, ()
+        return cls(users=users, backface_cull=cull, hairs=hairs, **kw)
 
 
 def _as_np_f32(a):
@@ -208,6 +220,8 @@ class Scene:
         users = []
         user_bvhs = []
         mb_geoms = []
+        hair_bvhs = []
+        hairs = []
         tri_uv3 = []          # (n,3,2) PATCH uv corners per tri (subdiv
         any_patch_uv = False  # eager path); identity barycentric otherwise
 
@@ -289,6 +303,30 @@ class Scene:
                                backend=self.device.state.builder)
                 user_bvhs.append(ub.to_device())
                 users.append((gid, g.num_prims, g.intersect_fn, None))
+            elif (isinstance(g, (BezierCurves, BSplineCurves))
+                  and self.device.state.hair_accel in ("default", "obb",
+                                                       "bvh4obb.bezier1v")):
+                # first-class hair accel: strand-aligned OBB clusters
+                # (bvh_builder_hair.cpp / bvh.h:971 UnalignedNode
+                # re-design; build/hair.py) with direct cubic-curve
+                # leaves — ribbon for FLAT curves, swept-cone for ROUND
+                from ..build.hair import build_hair_clusters
+                from ..traverse.hair import (make_ribbon_intersector,
+                                             make_round_curve_intersector)
+                cps, radii = g.to_bezier()
+                clusters = build_hair_clusters(
+                    cps, radii, builder=self.device.state.builder)
+                K = max(2, int(g.tessellation_rate))
+                make = (make_ribbon_intersector if g.flat
+                        else make_round_curve_intersector)
+                for cl in clusters:
+                    rcps = cps[cl.members] @ cl.rot
+                    rrad = radii[cl.members]
+                    fn = make(rcps, rrad, cl.members, K=K)
+                    hair_bvhs.append(cl.bvh)
+                    hairs.append((gid, _make_cluster_fn(
+                        cl.rot, fn, cl.members, int(cl.members.shape[0]),
+                        gid)))
             elif isinstance(g, (LineSegments, BezierCurves, BSplineCurves)):
                 # curves ride the callback-accel machinery over tessellated
                 # round segments (scene/curves.py)
@@ -416,6 +454,8 @@ class Scene:
         self.committed = CommittedScene(bvh=bvh, tris=tris, pallas=pallas_scene,
                                         rowtrace=rowtrace,
                                         tri_patch_uv=tri_patch_uv,
+                                        hair_bvhs=tuple(hair_bvhs),
+                                        hairs=tuple(hairs),
                                         compressed=compressed,
                                         compressed_pallas=compressed_pallas,
                                         world_lower=wl, world_upper=wu,
@@ -764,6 +804,51 @@ def _use_pallas(cs: CommittedScene, isa: str) -> bool:
 
 
 
+def _make_cluster_fn(rot, leaf_fn, members, n_members, gid):
+    """Whole-cluster intersect closure: rotate the ray batch into the
+    cluster frame (x @ R), walk the rotated-AABB BVH, rotate Ng back.
+    rot/members are numpy, captured as literals (axon-friendly)."""
+    rot_np = np.asarray(rot, np.float32)
+    mem_np = np.asarray(members, np.int32)
+
+    def cluster_fn(bvh, org, d, tn, t_in):
+        from ..traverse.user import UserAccel, intersect_user
+        Rm = jnp.asarray(rot_np)
+        rrays = Rays(org @ Rm, d @ Rm, tn, t_in)
+        t, u, v, ng, pc, hitm = intersect_user(
+            UserAccel(bvh, gid, n_members), leaf_fn, rrays, t_in)
+        ng = ng @ Rm.T
+        prim = jnp.asarray(mem_np)[jnp.maximum(pc, 0)]
+        prim = jnp.where(hitm, prim, -1)
+        return t, u, v, ng, prim, hitm
+
+    return cluster_fn
+
+
+def _fold_hair(cs, rays: Rays, hits: Hits) -> Hits:
+    """AccelN fold step for the hair OBB clusters."""
+    shape = rays.batch_shape
+    org = rays.org.reshape(-1, 3)
+    d = rays.dir.reshape(-1, 3)
+    tn = rays.tnear.reshape(-1)
+    for (gid, cfn), bvh in zip(cs.hairs, cs.hair_bvhs):
+        t, u, v, ng, prim, hitm = cfn(bvh, org, d, tn,
+                                      hits.t.reshape(-1))
+        use = (hitm & (t < hits.t.reshape(-1))).reshape(shape)
+        hits = Hits(
+            t=jnp.where(use, t.reshape(shape), hits.t),
+            u=jnp.where(use, u.reshape(shape), hits.u),
+            v=jnp.where(use, v.reshape(shape), hits.v),
+            ng=jnp.where(use[..., None], ng.reshape(shape + (3,)),
+                         hits.ng),
+            prim_id=jnp.where(use, prim.reshape(shape), hits.prim_id),
+            geom_id=jnp.where(use, gid, hits.geom_id),
+            gprim=jnp.where(use, -1, hits.gprim),
+            inst_id=jnp.where(use, -1, hits.inst_id),
+        )
+    return hits
+
+
 def _apply_patch_uv(cs: "CommittedScene", h: Hits) -> Hits:
     """Remap triangle-barycentric (u, v) to PATCH uv for eager-subdiv
     prims (GridSOA hit semantics, grid_soa_intersector1.h:60-117):
@@ -802,7 +887,7 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
             and cs.rowtrace is not None and _use_pallas(cs, isa)
             and filter_fn is None and ray_mask is None and time is None
             and cs.compressed is None and cs.mb is None
-            and not cs.users and not cs.instances):
+            and not cs.users and not cs.instances and not cs.hairs):
         from ..traverse.packet import _finalize_hits
         from ..traverse.rowtrace2 import intersect_rowtrace2
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
@@ -827,7 +912,7 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
         if (_use_pallas(cs, isa) and filter_fn is None
                 and ray_mask is None
                 and cs.compressed is None and cs.mb is None
-                and not cs.users and not cs.instances):
+                and not cs.users and not cs.instances and not cs.hairs):
             from ..traverse.packet import _finalize_hits
             from ..traverse.pallas_packet import intersect_pallas_raw
             srays, perm = sort_rays_stream(flat, cs.world_lower,
@@ -907,6 +992,10 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
                 use_m.reshape(use_m.shape + (1,) * (a.ndim - use_m.ndim)),
                 a, b), hmb, hits)
 
+    # hair OBB clusters (bvh_builder_hair analog; build/hair.py)
+    if cs.hairs:
+        hits = _fold_hair(cs, rays, hits)
+
     # user-geometry + curve accels (object_intersector / line_intersector)
     for i, (gid, nprims, fn, prim_map) in enumerate(cs.users):
         from ..traverse.user import UserAccel, intersect_user
@@ -960,7 +1049,7 @@ def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
             and cs.rowtrace is not None and _use_pallas(cs, isa)
             and ray_mask is None
             and cs.compressed is None and cs.mb is None
-            and not cs.users and not cs.instances):
+            and not cs.users and not cs.instances and not cs.hairs):
         from ..traverse.rowtrace2 import intersect_rowtrace2
         flat = Rays(rays.org.reshape(-1, 3), rays.dir.reshape(-1, 3),
                     rays.tnear.reshape(-1), rays.tfar.reshape(-1))
@@ -1005,6 +1094,15 @@ def scene_occluded(cs: CommittedScene, rays: Rays, isa: str = "default",
         else:
             from ..traverse.cbvh import occluded_compressed
             occ = occ | occluded_compressed(cs.compressed, rays)
+
+    if cs.hairs:
+        forg = rays.org.reshape(-1, 3)
+        fd = rays.dir.reshape(-1, 3)
+        ftn = rays.tnear.reshape(-1)
+        ftf = rays.tfar.reshape(-1)
+        for (gid, cfn), hbvh in zip(cs.hairs, cs.hair_bvhs):
+            _t, _u, _v, _ng, _p, hitm = cfn(hbvh, forg, fd, ftn, ftf)
+            occ = occ | hitm.reshape(shape)
 
     for i, (gid, nprims, fn, _pm) in enumerate(cs.users):
         from ..traverse.user import UserAccel, intersect_user

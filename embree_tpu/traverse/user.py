@@ -28,8 +28,12 @@ class UserAccel(NamedTuple):
 
 
 def intersect_user(accel: UserAccel, intersect_fn: Callable, rays: Rays,
-                   t_in, stack_depth: int = 96, max_leaf: int = 8):
-    """Returns (t, u, v, ng, prim, hit_mask) min-combined against t_in."""
+                   t_in, stack_depth: int = 96, max_leaf: int = 8,
+                   with_stats: bool = False):
+    """Returns (t, u, v, ng, prim, hit_mask) min-combined against t_in
+    (+ per-ray node-test hit count when with_stats — the STAT3
+    trav_nodes analog for accel-quality comparisons: how many (ray,
+    node) box tests passed, i.e. per-ray traversal work)."""
     bvh = accel.bvh
     org = rays.org.reshape(-1, 3)
     direction = rays.dir.reshape(-1, 3)
@@ -61,13 +65,16 @@ def intersect_user(accel: UserAccel, intersect_fn: Callable, rays: Rays,
         return c[0] > 0
 
     def step(c):
-        sp, stack, t, u, v, ng, prim = c
+        sp, stack, t, u, v, ng, prim, pops = c
         sp = sp - 1
         node = stack[sp]
         lower, upper = bvh.lower[node], bvh.upper[node]
         child, count = bvh.child[node], bvh.count[node]
         tmin, hit = _node_box_test(lower, upper, rdir, org_rdir, tnear, t)
         any_hit = jnp.any(hit, axis=1) & (count >= 0)
+        # stats: only REAL child slots (pads carry count < 0)
+        pops = pops + jnp.sum(
+            jnp.where((count >= 0)[:, None], hit, False).astype(jnp.int32))
 
         for c_ in range(bvh.width):
             def run(args, c_=c_):
@@ -80,10 +87,13 @@ def intersect_user(accel: UserAccel, intersect_fn: Callable, rays: Rays,
             push = any_hit[c_] & (count[c_] == 0)
             stack = jnp.where(push, stack.at[sp].set(child[c_]), stack)
             sp = sp + push.astype(jnp.int32)
-        return sp, stack, t, u, v, ng, prim
+        return sp, stack, t, u, v, ng, prim, pops
 
     init = (jnp.int32(1), jnp.zeros((stack_depth,), jnp.int32),
             t0, jnp.zeros(R), jnp.zeros(R), jnp.zeros((R, 3)),
-            jnp.full((R,), -1, jnp.int32))
-    _sp, _stack, t, u, v, ng, prim = jax.lax.while_loop(cond, step, init)
+            jnp.full((R,), -1, jnp.int32), jnp.int32(0))
+    _sp, _stack, t, u, v, ng, prim, pops = jax.lax.while_loop(
+        cond, step, init)
+    if with_stats:
+        return t, u, v, ng, prim, prim >= 0, pops
     return t, u, v, ng, prim, prim >= 0

@@ -70,13 +70,14 @@ class CommittedScene:
 
     _CHILDREN = ("bvh", "tris", "pallas", "compressed", "compressed_pallas",
                  "instances", "user_bvhs", "mb", "world_lower", "world_upper",
-                 "prim_mask", "rowtrace", "tri_patch_uv", "hair_bvhs")
+                 "prim_mask", "rowtrace", "tri_patch_uv", "hair_bvhs",
+                 "mb_pallas")
 
     def __init__(self, bvh, tris, pallas, compressed, compressed_pallas,
                  world_lower, world_upper, instances=(), user_bvhs=(),
                  users=(), mb=None, prim_mask=None, backface_cull=False,
                  rowtrace=None, tri_patch_uv=None, hair_bvhs=(),
-                 hairs=()):
+                 hairs=(), mb_pallas=None):
         self.rowtrace = rowtrace    # Optional[TreeletScene] (per-lane path)
         # (T,3,2) PATCH uv corners per flattened tri (only when the scene
         # has eager-subdiv geometry): hits report patch (u,v), the
@@ -99,6 +100,7 @@ class CommittedScene:
         # (pytree) + STATIC per-cluster intersector closures
         self.hair_bvhs = tuple(hair_bvhs)
         self.hairs = tuple(hairs)       # STATIC: (geom_id, cluster_fn)
+        self.mb_pallas = mb_pallas      # Optional[MBPallas] (TPU MB path)
 
     def _replace(self, **kw):
         d = {k: getattr(self, k) for k in self._CHILDREN}
@@ -448,14 +450,18 @@ class Scene:
 
         # motion-blur accel (dual-timestep refit bounds; traverse/mb.py)
         mb = None
+        mb_pallas = None
         if mb_geoms:
             mb = self._build_mb(mb_geoms)
+            from ..traverse.pallas_mb import pack_mb
+            mb_pallas = pack_mb(mb)
 
         self.committed = CommittedScene(bvh=bvh, tris=tris, pallas=pallas_scene,
                                         rowtrace=rowtrace,
                                         tri_patch_uv=tri_patch_uv,
                                         hair_bvhs=tuple(hair_bvhs),
                                         hairs=tuple(hairs),
+                                        mb_pallas=mb_pallas,
                                         compressed=compressed,
                                         compressed_pallas=compressed_pallas,
                                         world_lower=wl, world_upper=wu,
@@ -980,12 +986,24 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
             inst_id=jnp.where(use_c, ch.inst_id, hits.inst_id),
         )
 
-    # motion-blur accel at the ray time (MB intersectors)
+    # motion-blur accel at the ray time (MB intersectors); the pallas
+    # packet variant is the TPU path (VERDICT r2 #5 — MB on-chip)
     if cs.mb is not None:
         from ..traverse.mb import intersect_mb
         tmv = 0.0 if time is None else time
-        hmb = intersect_mb(cs.mb, Rays(rays.org, rays.dir, rays.tnear,
-                                       hits.t), tmv)
+        import jax as _j
+        mb_on_pallas = (cs.mb_pallas is not None and isa != "xla"
+                        and (isa == "pallas"
+                             or _j.default_backend() in ("tpu", "axon")))
+        if mb_on_pallas:
+            from ..traverse.pallas_mb import intersect_mb_pallas
+            hmb = intersect_mb_pallas(
+                cs.mb_pallas, cs.mb,
+                Rays(rays.org, rays.dir, rays.tnear, hits.t), tmv,
+                interpret=_pallas_interpret())
+        else:
+            hmb = intersect_mb(cs.mb, Rays(rays.org, rays.dir, rays.tnear,
+                                           hits.t), tmv)
         use_m = hmb.valid
         hits = jax.tree.map(
             lambda a, b: jnp.where(

@@ -142,10 +142,23 @@ def intersect_mb(accel: MBAccel, rays: Rays, time,
     init = (jnp.int32(1), jnp.zeros((stack_depth,), jnp.int32), tfar,
             jnp.full((R,), -1, jnp.int32))
     _sp, _stack, t, prim = jax.lax.while_loop(cond, step, init)
+    return _finalize_mb(accel, rays, t, prim, tm)
 
-    # finalize against time-interpolated triangles
+
+def _finalize_mb(accel: MBAccel, rays: Rays, t, prim, tm) -> Hits:
+    """Finalize (t, winning prim) against time-interpolated triangles —
+    shared by the XLA and Pallas MB traversals."""
+    S = accel.num_timesteps
+    org = rays.org.reshape(-1, 3)
+    direction = rays.dir.reshape(-1, 3)
+    tnear = rays.tnear.reshape(-1)
+    tfar = rays.tfar.reshape(-1)
+    seg, w = _seg_weights(tm, S)
     p = jnp.maximum(prim, 0)
-    v0, v1, v2 = lerp_tri(p)
+    w_ = w[..., None]
+    v0 = accel.v0_ts[seg, p] * (1 - w_) + accel.v0_ts[seg + 1, p] * w_
+    v1 = accel.v1_ts[seg, p] * (1 - w_) + accel.v1_ts[seg + 1, p] * w_
+    v2 = accel.v2_ts[seg, p] * (1 - w_) + accel.v2_ts[seg + 1, p] * w_
     valid = prim >= 0
     ok, _t2, u, v, ng = intersect_triangle(
         org, direction, tnear, t * (1.0 + 1e-6) + 1e-30, v0, v1, v2)

@@ -1,0 +1,326 @@
+"""Pallas TPU motion-blur packet kernel.
+
+VERDICT r2 #5: MB previously ran only on the XLA while-loop path —
+non-viable on the axon TPU compiler — so N-timestep motion blur did not
+exist ON the TPU. This kernel brings the multi-segment MB traversal
+(traverse/mb.py semantics, itself the AlignedNodeMB / msmblur analog)
+to the production packet style of pallas_packet.py:
+
+* node rows carry child/count plus ALL S timestep refit boxes
+  ([child W | count W | s: lo.xyz W hi.xyz W]); per pop the kernel
+  unions the knot boxes whose knot interval touches the packet's
+  [min(time), max(time)] range — exactly the XLA path's conservative
+  shared-stack test — and slab-tests the union.
+* leaf rows carry per-prim vertices at ALL S timesteps; each lane
+  lerps its OWN segment's two knots (unrolled select over the static
+  S-1 segments) and runs Moeller — exact per-ray time, like the
+  reference's MB triangle intersectors.
+
+Rows are DMA'd HBM->SMEM per pop/prim (the Mosaic scalar-read pattern
+of pallas_packet.py). Packet = SUB x 128 rays; one grid step per
+packet. Validated against the XLA MB path in interpret mode
+(tests/test_motion_blur.py) and dispatched on TPU from scene_intersect.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.rayhit import Rays
+
+ROBUST_MIN = np.float32(1.0 - 3.0 * 2.0 ** -23)
+ROBUST_MAX = np.float32(1.0 + 3.0 * 2.0 ** -23)
+INF = np.float32(np.inf)
+SUB = 8                 # packet = SUB*128 rays
+STACK_DEPTH = 96
+MAX_LEAF = 8
+
+
+class MBPallas:
+    """Device pytree: packed MB node/tri rows (+ static layout)."""
+
+    def __init__(self, node_rows, tri_rows, prim_order, S, W, num_nodes,
+                 num_prims):
+        self.node_rows = node_rows    # (M, 2W + S*6W) f32
+        self.tri_rows = tri_rows      # (T, S*9) f32
+        self.prim_order = prim_order  # (T,) i32
+        self.S = S
+        self.W = W
+        self.num_nodes = num_nodes
+        self.num_prims = num_prims
+
+    def tree_flatten(self):
+        return ((self.node_rows, self.tri_rows, self.prim_order),
+                (self.S, self.W, self.num_nodes, self.num_prims))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+jax.tree_util.register_pytree_node_class(MBPallas)
+
+
+def pack_mb(accel) -> MBPallas:
+    """Pack an MBAccel (traverse/mb.py) into kernel rows."""
+    low = np.asarray(accel.lower_ts)     # (S, M, W, 3)
+    upp = np.asarray(accel.upper_ts)
+    S, M, W, _ = low.shape
+    bvh = accel.bvh
+    child = np.asarray(bvh.child, np.float32)   # (M, W)
+    count = np.asarray(bvh.count, np.float32)
+    rows = np.empty((M, 2 * W + S * 6 * W), np.float32)
+    rows[:, 0 * W:1 * W] = child
+    rows[:, 1 * W:2 * W] = count
+    for s in range(S):
+        base = 2 * W + s * 6 * W
+        for a in range(3):
+            rows[:, base + a * W: base + (a + 1) * W] = low[s, :, :, a]
+            rows[:, base + (3 + a) * W: base + (4 + a) * W] = \
+                upp[s, :, :, a]
+    v0 = np.asarray(accel.v0_ts)         # (S, T, 3)
+    v1 = np.asarray(accel.v1_ts)
+    v2 = np.asarray(accel.v2_ts)
+    T = v0.shape[1]
+    tri = np.empty((T, S * 9), np.float32)
+    for s in range(S):
+        tri[:, s * 9 + 0: s * 9 + 3] = v0[s]
+        tri[:, s * 9 + 3: s * 9 + 6] = v1[s]
+        tri[:, s * 9 + 6: s * 9 + 9] = v2[s]
+    return MBPallas(jnp.asarray(rows), jnp.asarray(tri),
+                    jnp.asarray(np.asarray(bvh.prim_order, np.int32)),
+                    S, W, M, T)
+
+
+def _rcp_safe(a):
+    return jnp.where(jnp.abs(a) < 1e-30,
+                     jnp.where(a < 0, -1e30, 1e30), 1.0 / a)
+
+
+def _mb_kernel(S: int, W: int, occluded: bool):
+
+    def kernel(prim_order, params, nodes, tris,
+               ox, oy, oz, dx, dy, dz, tn, tf, tm,
+               t_o, prim_o,
+               nrow, trow, stack, nsem, tsem):
+        max_iters = params[0]
+        rdx = _rcp_safe(dx[:])
+        rdy = _rcp_safe(dy[:])
+        rdz = _rcp_safe(dz[:])
+        orx = ox[:] * rdx
+        ory = oy[:] * rdy
+        orz = oz[:] * rdz
+        o_x, o_y, o_z = ox[:], oy[:], oz[:]
+        d_x, d_y, d_z = dx[:], dy[:], dz[:]
+        tnear = tn[:]
+        time = jnp.clip(tm[:], 0.0, 1.0)
+        x = time * (S - 1)
+        seg = jnp.clip(x.astype(jnp.int32), 0, max(S - 2, 0))
+        wgt = x - seg.astype(jnp.float32)
+        t0s = jnp.min(time)
+        t1s = jnp.max(time)
+
+        def leaf(start, cnt, t, prim):
+            def body(k, carry):
+                t, prim = carry
+                p = prim_order[start + k]
+                cp = pltpu.make_async_copy(tris.at[p], trow, tsem)
+                cp.start()
+                cp.wait()
+                # per-lane segment lerp (unrolled static S-1 selects)
+                vals = []
+                for comp in range(9):
+                    acc = jnp.zeros_like(t)
+                    for s in range(max(S - 1, 1)):
+                        va = trow[s * 9 + comp]
+                        vb = trow[min(s + 1, S - 1) * 9 + comp]
+                        lerp = va * (1.0 - wgt) + vb * wgt
+                        acc = jnp.where(seg == s, lerp, acc)
+                    vals.append(acc)
+                v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = vals
+                # precomputed-cross Moeller convention
+                # (triangle_intersector_moeller.h:75-112; same as the
+                # packet/rowtrace kernels): e1 = v0-v1, e2 = v2-v0,
+                # Ng = cross(e2, e1)
+                e1x, e1y, e1z = v0x - v1x, v0y - v1y, v0z - v1z
+                e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+                ngx = e2y * e1z - e2z * e1y
+                ngy = e2z * e1x - e2x * e1z
+                ngz = e2x * e1y - e2y * e1x
+                cx = v0x - o_x
+                cy = v0y - o_y
+                cz = v0z - o_z
+                rx = cy * d_z - cz * d_y
+                ry = cz * d_x - cx * d_z
+                rz = cx * d_y - cy * d_x
+                den = ngx * d_x + ngy * d_y + ngz * d_z
+                absden = jnp.abs(den)
+                sgn = jnp.where(den >= 0.0, 1.0, -1.0)
+                u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
+                v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
+                t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
+                ok = (den != 0.0) & (u_s >= 0.0) & (v_s >= 0.0) \
+                    & (u_s + v_s <= absden) & (absden * tnear < t_s) \
+                    & (t_s <= absden * t) & (k < cnt)
+                if occluded:
+                    return jnp.where(ok, -INF, t), prim
+                th = t_s / jnp.maximum(absden, 1e-37)
+                return (jnp.where(ok, th, t),
+                        jnp.where(ok, p, prim))
+
+            return jax.lax.fori_loop(0, jnp.minimum(cnt, MAX_LEAF), body,
+                                     (t, prim))
+
+        def step(carry):
+            sp, t, prim, iters = carry
+            sp = sp - 1
+            node = stack[sp]
+            cp = pltpu.make_async_copy(nodes.at[node], nrow, nsem)
+            cp.start()
+            cp.wait()
+            for c in range(W):
+                # union of knot boxes intersecting the packet time range
+                lox = INF
+                loy = INF
+                loz = INF
+                hix = -INF
+                hiy = -INF
+                hiz = -INF
+                for s in range(S):
+                    k0 = (s - 1) / max(S - 1, 1)
+                    k1 = (s + 1) / max(S - 1, 1)
+                    act = (k1 >= t0s) & (k0 <= t1s)
+                    base = 2 * W + s * 6 * W
+                    lox = jnp.where(act, jnp.minimum(
+                        lox, nrow[base + 0 * W + c]), lox)
+                    loy = jnp.where(act, jnp.minimum(
+                        loy, nrow[base + 1 * W + c]), loy)
+                    loz = jnp.where(act, jnp.minimum(
+                        loz, nrow[base + 2 * W + c]), loz)
+                    hix = jnp.where(act, jnp.maximum(
+                        hix, nrow[base + 3 * W + c]), hix)
+                    hiy = jnp.where(act, jnp.maximum(
+                        hiy, nrow[base + 4 * W + c]), hiy)
+                    hiz = jnp.where(act, jnp.maximum(
+                        hiz, nrow[base + 5 * W + c]), hiz)
+                tx0 = lox * rdx - orx
+                tx1 = hix * rdx - orx
+                ty0 = loy * rdy - ory
+                ty1 = hiy * rdy - ory
+                tz0 = loz * rdz - orz
+                tz1 = hiz * rdz - orz
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                               jnp.minimum(ty0, ty1)),
+                                   jnp.minimum(tz0, tz1)) * ROBUST_MIN
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                               jnp.maximum(ty0, ty1)),
+                                   jnp.maximum(tz0, tz1)) * ROBUST_MAX
+                tmax = jnp.where(lox <= hix, tmax, -INF)
+                tmin = jnp.maximum(tmin, tnear)
+                hitm = (tmin <= tmax) & (tmin <= t)
+                anyhit = jnp.any(hitm)
+                cc = nrow[0 * W + c].astype(jnp.int32)
+                cnt = nrow[1 * W + c].astype(jnp.int32)
+
+                inner = anyhit & (cnt == 0)
+                isleaf = anyhit & (cnt > 0)
+
+                @pl.when(inner & (sp < STACK_DEPTH))
+                def _(cc=cc):
+                    stack[sp] = cc
+
+                sp = sp + (inner & (sp < STACK_DEPTH)).astype(jnp.int32)
+                t, prim = jax.lax.cond(
+                    isleaf,
+                    lambda a, cc=cc, cnt=cnt: leaf(cc, cnt, *a),
+                    lambda a: a, (t, prim))
+            return sp, t, prim, iters + 1
+
+        def cond(carry):
+            return (carry[0] > 0) & (carry[3] < max_iters)
+
+        stack[0] = 0
+        init = (jnp.int32(1), tf[:],
+                jnp.full_like(tf[:], -1).astype(jnp.int32), jnp.int32(0))
+        _sp, t, prim, _it = jax.lax.while_loop(cond, step, init)
+        t_o[:] = t
+        prim_o[:] = prim
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "W", "npackets", "occluded",
+                                    "interpret"))
+def _run_mb(node_rows, tri_rows, prim_order, tiles, S: int, W: int,
+            npackets: int, occluded: bool, interpret: bool):
+    params = jnp.asarray([4 * 1024], jnp.int32)
+    tile = (SUB, 128)
+    ray_spec = pl.BlockSpec(tile, lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(npackets,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)]
+        + [ray_spec] * 9,
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[
+            pltpu.SMEM((int(node_rows.shape[1]),), jnp.float32),
+            pltpu.SMEM((int(tri_rows.shape[1]),), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out_shape = (jax.ShapeDtypeStruct((npackets * SUB, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((npackets * SUB, 128), jnp.int32))
+    return pl.pallas_call(
+        _mb_kernel(S, W, occluded),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(prim_order, params, node_rows, tri_rows, *tiles)
+
+
+def intersect_mb_pallas(packed: MBPallas, accel, rays: Rays, time,
+                        t_in=None, occluded: bool = False,
+                        interpret: bool = False):
+    """Pallas MB traversal + XLA finalize; same contract as
+    traverse/mb.intersect_mb (Hits min-combined against t_in)."""
+    from .mb import _finalize_mb
+
+    org = rays.org.reshape(-1, 3)
+    d = rays.dir.reshape(-1, 3)
+    tn = rays.tnear.reshape(-1)
+    tf = (rays.tfar if t_in is None else t_in).reshape(-1)
+    R = tn.shape[0]
+    tm = jnp.broadcast_to(jnp.asarray(time, jnp.float32).reshape(-1)
+                          if getattr(time, "ndim", 0) > 0
+                          else jnp.asarray(time, jnp.float32), (R,))
+    P = SUB * 128
+    Rp = -(-R // P) * P
+    pad = Rp - R
+
+    def pc(x, fill):
+        return jnp.concatenate(
+            [x.astype(jnp.float32),
+             jnp.full((pad,), fill, jnp.float32)]).reshape(-1, 128)
+
+    tiles = (pc(org[:, 0], 0.0), pc(org[:, 1], 0.0), pc(org[:, 2], 0.0),
+             pc(d[:, 0], 1.0), pc(d[:, 1], 0.0), pc(d[:, 2], 0.0),
+             pc(tn, 0.0), pc(tf, -np.inf), pc(tm, 0.0))
+    t_t, prim_t = _run_mb(packed.node_rows, packed.tri_rows,
+                          packed.prim_order, tiles, packed.S, packed.W,
+                          Rp // P, occluded, interpret)
+    t = t_t.reshape(-1)[:R]
+    prim = prim_t.reshape(-1)[:R]
+    if occluded:
+        return t == -np.inf
+    return _finalize_mb(accel, rays, t, prim, tm)

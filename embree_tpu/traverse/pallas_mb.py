@@ -92,7 +92,14 @@ def pack_mb(accel) -> MBPallas:
         tri[:, s * 9 + 0: s * 9 + 3] = v0[s]
         tri[:, s * 9 + 3: s * 9 + 6] = v1[s]
         tri[:, s * 9 + 6: s * 9 + 9] = v2[s]
-    return MBPallas(jnp.asarray(rows), jnp.asarray(tri),
+    def pad128(a):
+        # Mosaic HBM->SMEM row DMAs need the minor dim 128-aligned
+        w = -(-a.shape[1] // 128) * 128
+        out = np.zeros((a.shape[0], w), np.float32)
+        out[:, :a.shape[1]] = a
+        return out
+
+    return MBPallas(jnp.asarray(pad128(rows)), jnp.asarray(pad128(tri)),
                     jnp.asarray(np.asarray(bvh.prim_order, np.int32)),
                     S, W, M, T)
 

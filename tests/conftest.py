@@ -25,3 +25,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """The full suite segfaults deterministically in XLA:CPU when one
+    process accumulates ~250 compiled executables and then traces a
+    large program (observed at test_rowtrace after the full alphabetical
+    prefix; neither half of the suite alone reproduces it). Dropping
+    compiled-program caches between modules keeps the client far from
+    the cliff; intra-module reuse (the expensive fixtures) is kept."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -10,10 +10,11 @@ jax.grad of the loss through the differentiable hit re-evaluation
 zero-grad custom_vjp). The whole fwd+bwd step is ONE jitted program —
 no host round trips.
 
-Baseline constant: 10 Mray/s, an embree-class single-core CPU incoherent
-figure (the reference publishes no stored numbers — BASELINE.md), so
-vs_baseline = value / 10. See BASELINE.md "Roofline" for the honest
-utilization analysis of this number.
+Baseline: 3.284 Mray/s — MEASURED on this host from the reference's own
+binaries (.refbuild/build-avx2/verify, AVX2, all cores, the exact
+IncoherentRaysBenchmark shape: verify.cpp:4473-4560; see BASELINE.md
+"MEASURED reference performance"). vs_baseline = value / 3.284; note the
+reference figure is fwd-only while ours is fwd+bwd.
 
 NOTE (axon): the fused jit program's FIRST-ever compile takes minutes on
 the remote compiler but is server-cached; steady state is one dispatch.
@@ -81,7 +82,7 @@ def main() -> int:
     dt = time.perf_counter() - t0
     mrayps = reps * n / dt / 1e6
 
-    baseline = 10.0
+    baseline = 3.284   # measured: reference AVX2 all-core on this host
     print(json.dumps({
         "metric": "incoherent_fwdbwd_mrayps_1Mprims",
         "value": round(mrayps, 3),

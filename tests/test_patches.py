@@ -91,7 +91,7 @@ def _check_cage(face_counts, face_indices, nv, verts, rng, tol=1.5e-3,
     du = np.asarray(out["dPdu"])
     # mask out points whose FD stencil straddles a patch-cell boundary
     ok = np.abs(fd - du).max(axis=1) < 0.05 * (np.abs(du).max(axis=1) + 1.0)
-    assert ok.mean() > 0.85, f"dPdu FD agreement only {ok.mean()}"
+    assert ok.mean() > 0.99, f"dPdu FD agreement only {ok.mean()}"
     return pt
 
 
@@ -226,3 +226,142 @@ def test_scene_interpolate_derivatives(rng):
     # derivatives nonzero and finite
     assert np.isfinite(np.asarray(out["dPdu"])).all()
     assert np.abs(np.asarray(out["dPdu"])).max() > 0.1
+
+
+# --------------------------------------------------------------------------
+# round 4: exact EV evaluation (self-similar cap) gates
+# --------------------------------------------------------------------------
+
+def _cube():
+    verts = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                      for z in (-1, 1)], np.float32)
+    faces = np.array([[0, 1, 3, 2], [4, 6, 7, 5], [0, 4, 5, 1],
+                      [2, 3, 7, 6], [0, 2, 6, 4], [1, 5, 7, 3]], np.int64)
+    return verts, np.full(6, 4, np.int64), faces.reshape(-1)
+
+
+def test_ev_exact_vs_deep_regular():
+    """The ladder+exact-cap eval must agree with the REGULAR B-spline
+    path of a deeper iso table to f32 everywhere near the EV (the two
+    paths share no code beyond the bases, so agreement means both hit
+    the true limit surface). Pre-r4 this disagreed by ~1.4e-3 (bf16
+    matmul precision in the eval einsums) — VERDICT r3 weak #7."""
+    verts, fc, fi = _cube()
+    pt2 = build_patch_table(fc, fi, 8)
+    pt6 = build_patch_table(fc, fi, 8, iso_levels=6)
+    vi2 = evaluate_plan(pt2.plan, verts)
+    vi6 = evaluate_plan(pt6.plan, verts)
+    assert pt2.lad_stam_ok is not None and pt2.lad_stam_ok.all()
+
+    rng = np.random.default_rng(5)
+    n = 500
+    r = 10 ** rng.uniform(-1.5, -0.7, n)
+    th = rng.uniform(0.1, np.pi / 2 - 0.1, n)
+    u = (r * np.cos(th)).astype(np.float32)
+    v = (r * np.sin(th)).astype(np.float32)
+    f = np.zeros(n, np.int32)
+    o2 = eval_patch_table(pt2, np.asarray(vi2), f, u, v)
+    o6 = eval_patch_table(pt6, np.asarray(vi6), f, u, v)
+    dP = np.linalg.norm(np.asarray(o2["P"]) - np.asarray(o6["P"]), axis=1)
+    assert dP.max() < 1e-5, dP.max()
+    dD = np.linalg.norm(np.asarray(o2["dPdu"]) - np.asarray(o6["dPdu"]),
+                        axis=1)
+    assert dD.max() < 1e-3, dD.max()
+
+
+def test_ev_adjacent_fd_gate():
+    """VERDICT r4 #5 done-gate: EV-adjacent dPdu matches central FD at
+    >= 99% (tol 1e-3 relative), with the FD step scaled to the distance
+    from the EV (h = r/20; a fixed step is invalid once it spans the EV,
+    where curvature is unbounded)."""
+    verts, fc, fi = _cube()
+    pt = build_patch_table(fc, fi, 8)
+    vi = np.asarray(evaluate_plan(pt.plan, verts))
+    rng = np.random.default_rng(7)
+    n = 800
+    r = 10 ** rng.uniform(-2.2, -1.0, n)
+    th = rng.uniform(0.05, np.pi / 2 - 0.05, n)
+    u = r * np.cos(th)
+    v = r * np.sin(th)
+    f = np.zeros(n, np.int32)
+    h = r / 20
+    out = eval_patch_table(pt, vi, f, u.astype(np.float32),
+                           v.astype(np.float32))
+    Pp = np.asarray(eval_patch_table(pt, vi, f, (u + h).astype(np.float32),
+                                     v.astype(np.float32))["P"], np.float64)
+    Pm = np.asarray(eval_patch_table(pt, vi, f, (u - h).astype(np.float32),
+                                     v.astype(np.float32))["P"], np.float64)
+    fd = (Pp - Pm) / (2 * h)[:, None]
+    an = np.asarray(out["dPdu"])
+    rel = np.linalg.norm(fd - an, axis=1) / np.maximum(
+        np.linalg.norm(fd, axis=1), 1e-9)
+    assert (rel < 1e-3).mean() >= 0.99, \
+        f"only {(rel < 1e-3).mean():.3f} under 1e-3 (median {np.median(rel):.2e})"
+    # second derivatives: FD of dPdu
+    Dp = np.asarray(eval_patch_table(pt, vi, f, (u + h).astype(np.float32),
+                                     v.astype(np.float32))["dPdu"], np.float64)
+    Dm = np.asarray(eval_patch_table(pt, vi, f, (u - h).astype(np.float32),
+                                     v.astype(np.float32))["dPdu"], np.float64)
+    fd2 = (Dp - Dm) / (2 * h)[:, None]
+    an2 = np.asarray(out["ddPdudu"])
+    rel2 = np.linalg.norm(fd2 - an2, axis=1) / np.maximum(
+        np.linalg.norm(fd2, axis=1), 1e-6)
+    assert (rel2 < 1e-2).mean() >= 0.95, \
+        f"dd agreement {(rel2 < 1e-2).mean():.3f}"
+
+
+def test_ev_limit_point_exact():
+    """P at the EV itself equals the CC limit point (the exact cap's
+    A^k power converges to the limit eigenvector)."""
+    verts, fc, fi = _cube()
+    pt = build_patch_table(fc, fi, 8)
+    vi = np.asarray(evaluate_plan(pt.plan, verts))
+    o = eval_patch_table(pt, vi, np.array([0], np.int32),
+                         np.array([1e-7], np.float32),
+                         np.array([1e-7], np.float32))
+    P = np.asarray(o["P"])[0]
+    # valence-3 cube-corner CC limit: computed by deep refinement
+    plan = plan_subdivision(fc, fi, 8, levels=7)
+    fine = limit_project(plan, evaluate_plan(plan, verts))
+    d = np.linalg.norm(np.asarray(fine) - verts[0], axis=1)
+    truth = np.asarray(fine)[np.argmin(d)]
+    assert np.linalg.norm(P - truth) < 1e-4, (P, truth)
+
+
+def test_creased_ev_golden():
+    """Creased-EV golden (VERDICT r4 #5): a cube with one infinite
+    crease ring — EVs on the crease keep the deep-ladder path; P must
+    match deep refinement to 1e-3 near the creased EV and the FD gate
+    must hold away from the crease curve."""
+    verts, fc, fi = _cube()
+    # crease the 4 edges around face 0 (vertices 0,1,3,2)
+    creases = np.array([[0, 1], [1, 3], [3, 2], [2, 0]], np.int64)
+    cw = np.full(4, np.inf, np.float32)
+    pt = build_patch_table(fc, fi, 8, edge_creases=creases,
+                           edge_crease_weights=cw)
+    vi = np.asarray(evaluate_plan(pt.plan, verts))
+    plan, fine, grids = _grid_ref(fc, fi, 8, verts, levels=7,
+                                  creases=creases, crease_w=cw)
+    rng = np.random.default_rng(11)
+    n = 400
+    # face 0's corners are creased valence-3 EVs: sample near corner 0
+    r = 10 ** rng.uniform(-2.0, -1.0, n)
+    th = rng.uniform(0.05, np.pi / 2 - 0.05, n)
+    u = (r * np.cos(th)).astype(np.float32)
+    v = (r * np.sin(th)).astype(np.float32)
+    f = np.zeros(n, np.int32)
+    out = eval_patch_table(pt, vi, f, u, v)
+    ref = _sample_grid(grids, fine, f, u, v, fc)
+    err = np.abs(np.asarray(out["P"]) - ref).max(axis=1)
+    assert np.quantile(err, 0.99) < 1e-3, np.quantile(err, 0.99)
+    # FD gate with distance-scaled step
+    h = (r / 20).astype(np.float64)
+    Pp = np.asarray(eval_patch_table(pt, vi, f, (u + h).astype(np.float32),
+                                     v)["P"], np.float64)
+    Pm = np.asarray(eval_patch_table(pt, vi, f, (u - h).astype(np.float32),
+                                     v)["P"], np.float64)
+    fd = (Pp - Pm) / (2 * h)[:, None]
+    an = np.asarray(out["dPdu"])
+    rel = np.linalg.norm(fd - an, axis=1) / np.maximum(
+        np.linalg.norm(fd, axis=1), 1e-9)
+    assert (rel < 1e-2).mean() >= 0.95, (rel < 1e-2).mean()

@@ -81,6 +81,37 @@ def material_loss(mt: MaterialTable, frozen, geom_mat, light_intensity,
 FLOAT_FIELDS = ("kd", "ks", "ns", "d", "eta", "k", "rough", "le")
 
 
+def path_grads(cscene, mt: MaterialTable, lights, geom_mat,
+               cam_vx, cam_vy, cam_vz, cam_p, *, width, height,
+               spp=16, max_path=3, n_lights=1, seed=0,
+               fields=FLOAT_FIELDS):
+    """Multi-bounce material gradients through the REAL pathtracer
+    accumulation (render/tutorials/pathtracer.py:render_pt — the
+    reference's renderPixelFunction loop, pathtracer_device.cpp:
+    1442-1546): d(sum image)/d(material float fields), differentiating
+    the full throughput product Lw = prod_j w_j and the per-bounce NEE
+    sums at the FROZEN path configuration. Freezing is structural:
+    geometry/hit selection never depend on materials, traversal carries
+    a zero-grad custom_vjp, sampled directions carry no material
+    gradient a.e., and discrete lobe choices are `where`-selected — so
+    jax.grad of the rendered image IS the frozen-configuration
+    pathwise gradient. Returns (image, {field: grad}).
+    """
+    from ..render.tutorials.pathtracer import render_pt
+
+    floats = {f: getattr(mt, f) for f in fields}
+
+    def f(fl):
+        img = render_pt(cscene, mt._replace(**fl), lights, geom_mat,
+                        cam_vx, cam_vy, cam_vz, cam_p, seed,
+                        width=width, height=height, spp=spp,
+                        n_lights=n_lights, max_path=max_path)
+        return jnp.sum(img), img
+
+    (loss, img), g = jax.value_and_grad(f, has_aux=True)(floats)
+    return img, g
+
+
 def material_grads(mt: MaterialTable, frozen, geom_mat, light_intensity,
                    target=None):
     """d loss / d {float material fields} (dict keyed by field name;

@@ -104,11 +104,13 @@ def build_cornell_scene(device_cfg="ignore_config_files=1"):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "spp", "n_lights"))
+                   static_argnames=("width", "height", "spp", "n_lights",
+                                    "max_path"))
 def render_pt(cscene, materials: MaterialTable, lights: LightTable,
               geom_mat, cam_vx, cam_vy, cam_vz, cam_p, seed,
               perm=None, inv=None,
-              *, width: int, height: int, spp: int = 4, n_lights: int = 1):
+              *, width: int, height: int, spp: int = 4, n_lights: int = 1,
+              max_path: int = MAX_PATH_LENGTH):
     key0 = jax.random.PRNGKey(seed)
 
     px, py = pixel_coords(width, height, perm)
@@ -126,7 +128,7 @@ def render_pt(cscene, materials: MaterialTable, lights: LightTable,
         active = jnp.ones(shape, bool)
         ro, rd = org, d
 
-        for bounce in range(MAX_PATH_LENGTH):
+        for bounce in range(max_path):
             kb = jax.random.fold_in(kpath, bounce)
             rays = Rays(ro, rd, jnp.full(shape, 1e-4, jnp.float32),
                         jnp.full(shape, jnp.inf, jnp.float32))
@@ -145,8 +147,16 @@ def render_pt(cscene, materials: MaterialTable, lights: LightTable,
             # emission (area-light geometry would add here)
             L = L + jnp.where(active[..., None], Lw * materials.le[mid], 0.0)
 
-            p_hit = ro + hits.t[..., None] * rd
-            ng = normalize(hits.ng)
+            # sanitize miss lanes: t=inf / ng=0 would produce NaNs that
+            # poison jax.grad through the masked branches of jnp.where
+            # (0 * NaN cotangents) — the values themselves are never
+            # used (every contribution is `active`-masked)
+            t_safe = jnp.where(hits.valid, hits.t, 1.0)
+            p_hit = ro + t_safe[..., None] * rd
+            ng_raw = jnp.where(hits.valid[..., None], hits.ng,
+                               jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+            nrm = jnp.linalg.norm(ng_raw, axis=-1, keepdims=True)
+            ng = ng_raw / jnp.maximum(nrm, 1e-20)
             # face forward
             ng = jnp.where(dot(rd, ng)[..., None] < 0, ng, -ng)
             wo = -rd

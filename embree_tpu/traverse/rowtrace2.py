@@ -124,7 +124,7 @@ def _clear_bit(words, idx, mask):
 def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                       in_cap: int, occluded: bool, cull: bool):
 
-    def kernel(params, blocks, tre, *args):
+    def kernel(params, blocks, tre, mbox, *args):
         # inputs: 7 ray + t,prim,cur,seed + mid_words + fan_words
         n_in = 11 + mid_words + fan_words
         ins = args[:n_in]
@@ -157,107 +157,99 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                     for f in range(24)]
 
         def walk(part, t, prim):
-            """Two-phase treelet walk (v3). Phase 1 walks the implicit
-            inner BVH4 (chunk-0 gathers ONLY, 24/step) and accumulates
-            hit leaf-pairs into a per-lane 128-bit mask instead of
-            intersecting inline; phase 2 FFS-drains the mask with
-            chunk-1 gathers ONLY (20/step — Ng is recomputed in-kernel
-            from e1/e2 rather than gathered). v2 gathered BOTH chunks
-            every step (52/step) because node/leaf lanes co-existed;
-            splitting the modes halves the gather bill, the kernel's
-            dominant cost (BASELINE.md roofline). Deferring leaf tests
-            forgoes within-treelet tfar tightening during the node walk
-            — entry-t pruning (tmin <= t at treelet entry) is kept, and
-            treelet-to-treelet tightening is unaffected.
+            """Two-phase treelet walk (v4). Phase 1 walks the implicit
+            inner BVH4 with a 3-word NODE BITMASK (85 inner slots):
+            each step FFS-picks the next pending inner node, gathers
+            its 24 chunk-0 bound fields, slabs the 4 children, and ORs
+            hit children back into the mask (4 consecutive bits — one
+            shifted nibble) or, for L3 nodes, into the 128-bit leaf-pair
+            mask. No per-lane stack: pop = FFS+clear (~30 vops vs ~100
+            select ops for the 12-deep stack), and visit order is slot
+            (BFS) order — order is irrelevant here because leaf tests
+            are deferred, so no t tightens during the node phase anyway.
+            Phase 2 FFS-drains the pair mask with chunk-1 gathers ONLY
+            (20/step — Ng is recomputed in-kernel from e1/e2).
 
-            Iteration caps are now provably unreachable: a lane visits
-            each of the 85 inner slots at most once (node cap 96) and
-            each of the 128 pairs at most once (leaf cap 136), so the
-            loops cannot silently truncate (VERDICT r3 weak #5)."""
+            Iteration caps are provably unreachable: a lane visits each
+            of the 85 inner slots at most once (cap 96) and each of the
+            128 pairs at most once (cap 136), so the loops cannot
+            silently truncate (VERDICT r3 weak #5)."""
             PM_WORDS = 4   # 128 leaf-pair bits
+            NM_WORDS = 3   # 85 inner-slot bits
 
-            def node_visit(vals, cur, sp, t, alive, pm, stack):
+            t0_c = t
+
+            def node_visit(vals, cur, alive, nm, pm):
                 is_l3 = cur >= L3_BASE
-                keys = []
                 hits = []
                 for c in range(4):
                     tmin, tmax = _slab(
                         vals[c], vals[4 + c], vals[8 + c],
                         vals[12 + c], vals[16 + c], vals[20 + c],
                         rdx, rdy, rdz, orx, ory, orz, tnear)
-                    hit = (tmin <= tmax) & (tmin <= t)
-                    hits.append(hit)
-                    keys.append(jnp.where(hit, tmin, INF))
-                # L3 children are leaf pairs 2*(cur-L3_BASE)+c (c<2 real;
-                # c>=2 slots carry inf bounds so hit is False): set mask
-                # bits, no push.
-                pbase = 2 * (cur - L3_BASE)
-                for c in (0, 1):
-                    pidx = pbase + c
-                    setb = alive & is_l3 & hits[c]
-                    bit = jax.lax.shift_left(jnp.int32(1),
-                                             jnp.bitwise_and(pidx, 31))
-                    w_of = jax.lax.shift_right_logical(
-                        jnp.maximum(pidx, 0), 5)
-                    for w in range(PM_WORDS):
-                        pm[w] = jnp.where(setb & (w_of == w),
-                                          jnp.bitwise_or(pm[w], bit), pm[w])
-                # inner children: distance-sorted push of slots 4*cur+1+c
-                cids = [4 * cur + 1 + c for c in range(4)]
-                for (a, b) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-                    swap = keys[b] < keys[a]
-                    keys[a], keys[b] = (jnp.where(swap, keys[b], keys[a]),
-                                        jnp.where(swap, keys[a], keys[b]))
-                    cids[a], cids[b] = (jnp.where(swap, cids[b], cids[a]),
-                                        jnp.where(swap, cids[a], cids[b]))
+                    hits.append(alive & (tmin <= tmax) & (tmin <= t0_c))
+                nib = (hits[0].astype(jnp.int32)
+                       + 2 * hits[1].astype(jnp.int32)
+                       + 4 * hits[2].astype(jnp.int32)
+                       + 8 * hits[3].astype(jnp.int32))
+                # inner children: 4 consecutive bits at 4*cur+1
                 node_mode = alive & ~is_l3
-                near_hit = node_mode & (keys[0] < INF)
-                for k in (3, 2, 1):
-                    do = node_mode & (keys[k] < INF)
-                    for dd in range(D_STACK):
-                        stack[dd] = jnp.where(do & (sp == dd), cids[k],
-                                              stack[dd])
-                    sp = sp + do.astype(jnp.int32)
-                need_pop = alive & (is_l3 | ~near_hit)
-                can_pop = need_pop & (sp > 0)
-                spm = sp - can_pop.astype(jnp.int32)
-                popv = zero_i
-                for dd in range(D_STACK):
-                    popv = jnp.where(spm == dd, stack[dd], popv)
-                cur = jnp.where(can_pop, popv,
-                                jnp.where(near_hit & ~need_pop, cids[0],
-                                          cur))
-                alive = alive & (~need_pop | can_pop)
-                return cur, spm, alive, pm, stack
+                start = 4 * cur + 1
+                wq = jax.lax.shift_right_logical(jnp.maximum(start, 0), 5)
+                o = jnp.bitwise_and(start, 31)
+                lo_bits = jax.lax.shift_left(nib, o)
+                hi_bits = jnp.where(
+                    o == 0, 0,
+                    jax.lax.shift_right_logical(
+                        nib, jnp.bitwise_and(32 - o, 31)))
+                for w in range(NM_WORDS):
+                    add = jnp.where(node_mode & (wq == w), lo_bits, 0)
+                    add = jnp.bitwise_or(
+                        add, jnp.where(node_mode & (wq + 1 == w),
+                                       hi_bits, 0))
+                    nm[w] = jnp.bitwise_or(nm[w], add)
+                # L3: 2 bits at pidx = 2*(cur-21) (even, so never
+                # straddles a word)
+                leaf_mode = alive & is_l3
+                pnib = jnp.bitwise_and(nib, 3)
+                pidx = 2 * (cur - L3_BASE)
+                pq = jax.lax.shift_right_logical(jnp.maximum(pidx, 0), 5)
+                pbits = jax.lax.shift_left(pnib, jnp.bitwise_and(pidx, 31))
+                for w in range(PM_WORDS):
+                    pm[w] = jnp.bitwise_or(
+                        pm[w], jnp.where(leaf_mode & (pq == w), pbits, 0))
+                return nm, pm
 
             def node_step(carry):
-                cur, sp, alive_i, iters = carry[:4]
-                pm = list(carry[4:4 + 4])
-                stack = list(carry[8:])
-                alive = alive_i != 0
+                nm = list(carry[:NM_WORDS])
+                pm = list(carry[NM_WORDS:NM_WORDS + PM_WORDS])
+                iters = carry[NM_WORDS + PM_WORDS]
+                nxt = _ffs_words(nm)
+                have = nxt < BIG
+                nm = _clear_bit(nm, nxt, have)
+                cur = jnp.where(have, nxt, 0)
                 vals = fetch_node(cur)
-                cur, sp, alive, pm, stack = node_visit(
-                    vals, cur, sp, t0_c, alive, pm, stack)
-                return tuple([cur, sp, alive.astype(jnp.int32), iters + 1]
-                             + pm + stack)
+                nm, pm = node_visit(vals, cur, have, nm, pm)
+                return tuple(nm + pm + [iters + 1])
 
             def node_cond(carry):
-                return jnp.any(carry[2] != 0) & (carry[3] < 96)
+                anyb = carry[0] != 0
+                for w in carry[1:NM_WORDS]:
+                    anyb = anyb | (w != 0)
+                return jnp.any(anyb) & (carry[NM_WORDS + PM_WORDS] < 96)
 
             # root step: every participating lane is at slot 0, so the
             # 24 fields are STATIC row reads (no gather)
-            t0_c = t
             root_vals = [jnp.broadcast_to(stage[:, 2 * f, 0:1],
                                           t.shape)
                          for f in range(24)]
+            nm0 = [zero_i] * NM_WORDS
             pm0 = [zero_i] * PM_WORDS
-            stack0 = [zero_i] * D_STACK
-            cur0, sp0, alive0, pm0, stack0 = node_visit(
-                root_vals, zero_i, zero_i, t, part, pm0, stack0)
-            init = tuple([cur0, sp0, alive0.astype(jnp.int32),
-                          jnp.int32(0)] + pm0 + stack0)
-            out = jax.lax.while_loop(node_cond, node_step, init)
-            pm = list(out[4:8])
+            nm0, pm0 = node_visit(root_vals, zero_i, part, nm0, pm0)
+            out = jax.lax.while_loop(
+                node_cond, node_step,
+                tuple(nm0 + pm0 + [jnp.int32(0)]))
+            pm = list(out[NM_WORDS:NM_WORDS + PM_WORDS])
 
             def leaf_step(carry):
                 t, prim, iters = carry[:3]
@@ -341,13 +333,41 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             mm = list(carry[5:5 + mid_words])
             fm = list(carry[5 + mid_words:5 + mid_words + fan_words])
 
-            # 1: PICK lanes take their next mid (or finish)
+            # 1: PICK lanes take their next mid (or finish). Each
+            # candidate mid's box is slab-tested against the lane's
+            # CURRENT t first (mid boxes live in VMEM — 12 gathers):
+            # mids behind an existing hit are cleared without paying
+            # their fan-row DMA + 40-box fan pass. Mids are visited in
+            # id order, so without this, a ray that hit early would
+            # still fan-pass every remaining candidate mid (BASELINE
+            # measured 5.09 mid entries but 1.6 treelet walks per hit
+            # ray). Unrolled 4x: up to 4 dead mids retired per turn.
             pick = cur == _PICK
-            nxt = _ffs_words(mm)
-            have = pick & (nxt < BIG)
-            mm = _clear_bit(mm, nxt, have)
-            cur = jnp.where(have, nxt, jnp.where(pick, _DONE, cur))
-            seed = jnp.where(have, 0, seed)
+            for _ in range(4):
+                nxt = _ffs_words(mm)
+                havebit = pick & (nxt < BIG)
+                lane = jnp.bitwise_and(jnp.maximum(nxt, 0), 127)
+                hi_half = nxt >= 128
+                mb = []
+                for f in range(6):
+                    c0 = jnp.take_along_axis(
+                        jnp.broadcast_to(mbox[f, 0, :][None, :],
+                                         (8, 128)), lane, axis=1)
+                    c1 = jnp.take_along_axis(
+                        jnp.broadcast_to(mbox[f, 1, :][None, :],
+                                         (8, 128)), lane, axis=1)
+                    mb.append(jnp.where(hi_half, c1, c0))
+                tmin_m, tmax_m = _slab(mb[0], mb[1], mb[2], mb[3], mb[4],
+                                       mb[5], rdx, rdy, rdz, orx, ory,
+                                       orz, tnear)
+                livemid = (tmin_m <= tmax_m) & (tmin_m <= t)
+                take = havebit & livemid
+                mm = _clear_bit(mm, nxt, havebit)
+                cur = jnp.where(take, nxt, cur)
+                seed = jnp.where(take, 0, seed)
+                pick = pick & ~take
+            none_left = pick & (_ffs_words(mm) == BIG)
+            cur = jnp.where(none_left, _DONE, cur)
 
             # 2: per-row consensus mid; stage its fan-box row.
             # All 8 row DMAs are STARTED before any wait so their
@@ -449,20 +469,24 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                    static_argnames=("fan", "mid_words", "fan_words",
                                     "ntiles", "in_cap", "occluded", "cull",
                                     "interpret"))
-def _run_rowtrace2(ts_blocks, ts_tre, tiles, fan: int, mid_words: int,
-                   fan_words: int, ntiles: int, in_cap: int,
-                   occluded: bool, cull: bool, interpret: bool):
+def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
+                   mid_words: int, fan_words: int, ntiles: int,
+                   in_cap: int, occluded: bool, cull: bool,
+                   interpret: bool):
     params = jnp.zeros((1,), jnp.int32)
     tile = (8, 128)
     ray_spec = pl.BlockSpec(tile, lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
+    mbox_spec = pl.BlockSpec((6, 2, 128), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     n_in = 11 + mid_words + fan_words
     n_out = 5 + mid_words + fan_words
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)]
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  mbox_spec]
         + [ray_spec] * n_in,
         out_specs=tuple([ray_spec] * n_out),
         scratch_shapes=[
@@ -482,7 +506,7 @@ def _run_rowtrace2(ts_blocks, ts_tre, tiles, fan: int, mid_words: int,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(params, ts_blocks, ts_tre, *tiles)
+    )(params, ts_blocks, ts_tre, mbox, *tiles)
 
 
 # ---------------------------------------------------------------------------
@@ -498,14 +522,14 @@ def _in_cap_for(size: int, Rp: int) -> int:
     active set is small (fragmented groups), let the kernel chew long
     chains in-place instead of paying dispatch+sort per unit."""
     if size >= Rp:
-        return 6
+        return 3
     if size * 4 >= Rp:
-        return 12
+        return 6
     if size * 16 >= Rp:
-        return 24
+        return 12
     if size * 64 >= Rp:
-        return 64
-    return 256
+        return 32
+    return 128
 
 
 def _bucket1024(n: int) -> int:
@@ -570,6 +594,15 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
     mm, key = _mid_mask_prepass(org, d, tn, tf, mid_boxes, num_mids,
                                 mid_words)
 
+    # mid boxes for the in-kernel PICK prune: (6, 2, 128) VMEM layout,
+    # pads inverted so they can never test live
+    mb2 = mid_boxes.reshape(-1, 6)
+    padm = 256 - mb2.shape[0]
+    padrow = jnp.concatenate([jnp.full((padm, 3), INF, jnp.float32),
+                              jnp.full((padm, 3), NINF, jnp.float32)],
+                             axis=1)
+    mbox = jnp.concatenate([mb2, padrow], axis=0).T.reshape(6, 2, 128)
+
     def pc(x, fill, dt=jnp.float32):
         return jnp.concatenate([x.astype(dt), jnp.full((pad,), fill, dt)])
 
@@ -606,9 +639,9 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
             tiles = tuple(t2(i) for i in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
                           ) + tuple(t2(13 + w)
                                     for w in range(mid_words + fan_words))
-            outs = _run_rowtrace2(blocks, tre_boxes, tiles, fan, mid_words,
-                                  fan_words, ntiles, in_cap, occluded,
-                                  cull, interpret)
+            outs = _run_rowtrace2(blocks, tre_boxes, mbox, tiles, fan,
+                                  mid_words, fan_words, ntiles, in_cap,
+                                  occluded, cull, interpret)
             st = list(st)
 
             def fl(a):

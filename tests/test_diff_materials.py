@@ -135,3 +135,107 @@ def test_material_optimization_step(rng):
     assert l1 < 0.05 * l0
     np.testing.assert_allclose(np.asarray(kd)[0],
                                [0.7, 0.4, 0.1], atol=0.05)
+
+
+# --------------------------------------------------------------------------
+# round 4: multi-bounce material gradients (VERDICT r4 #6)
+# --------------------------------------------------------------------------
+
+def _indirect_scene():
+    """Floor point P blocked from the point light by an occluder; a tall
+    lit wall bounces light back to P — the camera pixel at P is
+    bounce-2-only (its radiance exists only through one diffuse bounce
+    off the wall, pathtracer_device.cpp:1442-1546 semantics)."""
+    import jax.numpy as jnp
+    from embree_tpu import Device, Scene, QuadMesh
+    from embree_tpu.render.materials import MAT_MATTE, make_material_table
+    from embree_tpu.render.lights import LIGHT_POINT, make_light_table
+
+    dev = Device("ignore_config_files=1")
+    scene = Scene(dev)
+    mats, geom_mat = [], []
+
+    def add_quad(p0, du, dv, mat):
+        p0 = np.asarray(p0, np.float32)
+        v = np.stack([p0, p0 + du, p0 + np.asarray(du) + np.asarray(dv),
+                      p0 + dv]).astype(np.float32)
+        q = np.asarray([[0, 1, 2, 3]], np.int64)
+        gid = scene.attach(QuadMesh(v, q))
+        while len(geom_mat) <= gid:
+            geom_mat.append(0)
+        geom_mat[gid] = len(mats)
+        mats.append(mat)
+
+    # floor (target surface), extends around origin
+    add_quad((-3, 0, -3), (6, 0, 0), (0, 0, 6),
+             dict(type=MAT_MATTE, kd=(0.7, 0.7, 0.7)))
+    # wall at x=2, facing -x, tall
+    add_quad((2, 0, -3), (0, 3, 0), (0, 0, 6),
+             dict(type=MAT_MATTE, kd=(0.2, 0.8, 0.3)))
+    # occluder: small quad directly between light (0,2,0) and P=(0,0,0)
+    add_quad((-0.4, 1.0, -0.4), (0.8, 0, 0), (0, 0, 0.8),
+             dict(type=MAT_MATTE, kd=(0.05, 0.05, 0.05)))
+    cs = scene.commit()
+    mt = make_material_table(mats)
+    lt = make_light_table([{"type": LIGHT_POINT, "pos": (0.0, 2.0, 0.0),
+                            "radiance": (30.0, 30.0, 30.0)}])
+    return cs, mt, lt, jnp.asarray(np.asarray(geom_mat, np.int32))
+
+
+def test_multibounce_material_grads_fd():
+    """d(pixel)/d(kd_wall) of a bounce-2-only pixel matches FD through
+    the REAL multi-bounce accumulation (throughput product + per-bounce
+    NEE). The pixel's direct NEE is occluded, so a nonzero wall-kd
+    gradient can only flow through the bounce-1 throughput product."""
+    import jax.numpy as jnp
+    from embree_tpu.core.rayhit import Rays
+    from embree_tpu.diff.materials import path_grads
+    from embree_tpu.render.tutorials.pathtracer import render_pt
+    from embree_tpu.scene.scene import scene_occluded
+
+    cs, mt, lt, geom_mat = _indirect_scene()
+
+    # camera: straight down at P=(0,0,0) from (0, 1.5, 0.9); 1x1 pixel
+    cam_p = jnp.asarray([0.0, 1.5, 0.9], jnp.float32)
+    to = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    vz = (to - cam_p) / jnp.linalg.norm(to - cam_p)
+    # pixel_coords(1,1) gives x,y in [-0.5, 0.5); tiny fov via small vx,vy
+    vx = jnp.asarray([1e-3, 0.0, 0.0], jnp.float32)
+    vy = jnp.cross(vz, vx)
+    vy = 1e-3 * vy / jnp.linalg.norm(vy)
+
+    # sanity: P is occluded from the light
+    P = np.array([[0.0, 0.0, 0.0]], np.float32)
+    L = np.array([0.0, 2.0, 0.0], np.float32)
+    wi = (L - P) / np.linalg.norm(L - P, axis=-1, keepdims=True)
+    sh = Rays(jnp.asarray(P), jnp.asarray(wi),
+              jnp.asarray([1e-3], jnp.float32),
+              jnp.asarray([np.linalg.norm(L - P[0]) * 0.999], jnp.float32))
+    assert bool(np.asarray(scene_occluded(cs, sh))[0])
+
+    kw = dict(width=1, height=1, spp=16, max_path=3, n_lights=1, seed=3)
+    img, g = path_grads(cs, mt, lt, geom_mat,
+                        vx, vy, vz, cam_p, fields=("kd",), **kw)
+    img = np.asarray(img)
+    assert img.sum() > 1e-4, "pixel must be indirectly lit"
+    g_kd = np.asarray(g["kd"])            # (n_mats, 3)
+    assert np.abs(g_kd[1]).max() > 1e-5, "wall kd must matter (bounce 2)"
+
+    # FD on the wall kd green channel
+    eps = 1e-2
+    def run(mt_):
+        return float(np.asarray(render_pt(
+            cs, mt_, lt, geom_mat, vx, vy, vz, cam_p, kw["seed"],
+            width=1, height=1, spp=kw["spp"], n_lights=1,
+            max_path=kw["max_path"])).sum())
+
+    kd = np.asarray(mt.kd).copy()
+    kdp = kd.copy(); kdp[1, 1] += eps
+    kdm = kd.copy(); kdm[1, 1] -= eps
+    fd = (run(mt._replace(kd=jnp.asarray(kdp)))
+          - run(mt._replace(kd=jnp.asarray(kdm)))) / (2 * eps)
+    an = g_kd[1, 1]
+    assert abs(fd - an) < 5e-2 * max(abs(fd), 1e-3), (fd, an)
+
+    # floor kd gradient also flows (both bounce-0 brdf and throughput)
+    assert np.abs(g_kd[0]).max() > 1e-5

@@ -46,6 +46,11 @@ def _load():
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_float]
+            lib.et_build_sah_tri.restype = ctypes.c_void_p
+            lib.et_build_sah_tri.argtypes = [
+                ctypes.POINTER(ctypes.c_float)] * 5 + [
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float]
             lib.et_num_refs.restype = ctypes.c_int64
             lib.et_num_refs.argtypes = [ctypes.c_void_p]
             lib.et_num_nodes.restype = ctypes.c_int64
@@ -68,24 +73,39 @@ def native_available() -> bool:
 def build_sah_native(prim_lower: np.ndarray, prim_upper: np.ndarray,
                      branching: int = 4, max_leaf: int = 4,
                      min_leaf: int = 1,
-                     spatial_factor: float = 1.0) -> BVHArraysNP | None:
-    """spatial_factor > 1 enables the pre-split reference-duplication
-    pass (RTC_BUILD_QUALITY_HIGH analog; the budget matches embree's
-    max_spatial_split_replications = 1.2, state.cpp defaults). The
-    returned prim_order then holds up to spatial_factor * P entries with
-    repeats — leaves referencing a duplicated prim test it more than
-    once, which is harmless for correctness and pays off as tighter
-    child bounds on long skinny prims."""
+                     spatial_factor: float = 1.0,
+                     tri_verts=None) -> BVHArraysNP | None:
+    """spatial_factor > 1 enables BINNED SPATIAL SPLITS (SBVH,
+    RTC_BUILD_QUALITY_HIGH; heuristic_spatial_array.h semantics): every
+    range evaluates both the 32-bin object split and a 16-bin spatial
+    split with entry/exit counts and clipped per-bin bounds, takes the
+    cheaper, and duplicates straddling references under a budget of
+    (spatial_factor - 1) * P (embree's max_spatial_split_replications,
+    state.h:113). `tri_verts=(v0, v1, v2)` enables exact
+    Sutherland-Hodgman triangle clipping for tight split boxes;
+    without it, boxes are chopped at the plane. The returned prim_order
+    then holds up to spatial_factor * P entries with repeats — leaves
+    referencing a duplicated prim test it more than once, harmless for
+    correctness."""
     lib = _load()
     if lib is None:
         return None
     lo = np.ascontiguousarray(prim_lower, np.float32)
     hi = np.ascontiguousarray(prim_upper, np.float32)
     P = lo.shape[0]
-    h = lib.et_build_sah(
-        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        hi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        P, branching, max_leaf, min_leaf, float(spatial_factor))
+    fp = ctypes.POINTER(ctypes.c_float)
+    if tri_verts is not None and spatial_factor > 1.0:
+        v0, v1, v2 = (np.ascontiguousarray(v, np.float32)
+                      for v in tri_verts)
+        h = lib.et_build_sah_tri(
+            lo.ctypes.data_as(fp), hi.ctypes.data_as(fp),
+            v0.ctypes.data_as(fp), v1.ctypes.data_as(fp),
+            v2.ctypes.data_as(fp),
+            P, branching, max_leaf, min_leaf, float(spatial_factor))
+    else:
+        h = lib.et_build_sah(
+            lo.ctypes.data_as(fp), hi.ctypes.data_as(fp),
+            P, branching, max_leaf, min_leaf, float(spatial_factor))
     try:
         P = lib.et_num_refs(h)
         M = lib.et_num_nodes(h, branching)

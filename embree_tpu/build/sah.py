@@ -272,7 +272,7 @@ def collapse_to_wide(child2, nlo2, nhi2, order, root_ref, leaf_mult,
 
 def build_sah(prim_lower: np.ndarray, prim_upper: np.ndarray,
               settings: BuildSettings = BuildSettings(),
-              backend: str = "default") -> BVHArraysNP:
+              backend: str = "default", tri_verts=None) -> BVHArraysNP:
     """Full pipeline: binary SAH build + collapse to wide BVH.
 
     backend: "default"/"native" prefer the C++ builder (~400x the numpy
@@ -287,7 +287,8 @@ def build_sah(prim_lower: np.ndarray, prim_upper: np.ndarray,
                                branching=settings.branching_factor,
                                max_leaf=settings.max_leaf_size,
                                min_leaf=settings.min_leaf_size,
-                               spatial_factor=settings.spatial_factor)
+                               spatial_factor=settings.spatial_factor,
+                               tri_verts=tri_verts)
         if out is not None:
             return out
         if backend == "native":

@@ -382,8 +382,14 @@ class Scene:
             branching_factor=branching,
             spatial_factor=1.2 if self.quality == BuildQuality.HIGH else 1.0)
         with profile_phase("scene.build_sah"):
+            # HIGH quality gets triangle vertices for exact spatial-split
+            # clipping (heuristic_spatial_array splitPrimitive semantics)
+            tv = ((v0, v1, v2) if (tri_v0 and
+                                   self.quality == BuildQuality.HIGH)
+                  else None)
             bvh_np = build_sah(lower, upper, settings,
-                               backend=self.device.state.builder)
+                               backend=self.device.state.builder,
+                               tri_verts=tv)
         self._progress(0.9)
         with profile_phase("scene.upload"):
             bvh = bvh_np.to_device()

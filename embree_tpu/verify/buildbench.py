@@ -40,6 +40,15 @@ def run(n_prims: int = 100_000, reps: int = 5) -> dict:
         ts.append(time.perf_counter() - t0)
     out["BENCHMARK_BUILD_STATIC_SAH_MPRIMS_S"] = P / min(ts) / 1e6
 
+    # HIGH quality: binned spatial splits (SBVH, exact triangle clip)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        build_sah(lo, hi, BuildSettings(spatial_factor=1.2),
+                  backend="default", tri_verts=(v0, v1, v2))
+        ts.append(time.perf_counter() - t0)
+    out["BENCHMARK_BUILD_STATIC_SBVH_MPRIMS_S"] = P / min(ts) / 1e6
+
     # python frontier builder (reference point)
     if P <= 20000:
         t0 = time.perf_counter()

@@ -24,13 +24,37 @@ from ..scene.prims import TrianglePrims
 from ..scene.scene import CommittedScene, scene_intersect
 
 
+@jax.custom_vjp
+def _gather_rows(table, idx):
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gather_rows_bwd(res, ct):
+    # XLA's native gather-VJP is an unsorted scatter-add — measured
+    # 362 ms for 1M rows -> 500k on the v5e. Sorting the indices and
+    # segment-summing is 2.75x faster (131 ms) because the reduction
+    # becomes mostly-sequential memory traffic.
+    idx, T = res
+    order = jnp.argsort(idx)
+    g = jax.ops.segment_sum(jnp.take(ct, order, axis=0),
+                            jnp.take(idx, order), num_segments=T)
+    return g, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def reeval_hit(tris: TrianglePrims, rays: Rays, gprim, valid) -> Hits:
     """Recompute (t, u, v, Ng, P) differentiably for the selected prim."""
     p = jnp.maximum(gprim, 0)
     # one packed gather instead of three (v5e gather cost is per-op);
     # grads flow back through the concat as cheap slices
     packf = jnp.concatenate([tris.v0, tris.v1, tris.v2], axis=-1)  # (T, 9)
-    g = packf[p]
+    g = _gather_rows(packf, p)
     v0, v1, v2 = g[..., 0:3], g[..., 3:6], g[..., 6:9]
     e1 = v1 - v0
     e2 = v2 - v0

@@ -157,22 +157,18 @@ def render_frame(state, camera: Camera, size, smooth_normals: bool = True):
         state["prim_base"], vx, vy, vz, p, perm, inv, width=w, height=h)
     scene = state.get("scene")
     if smooth_normals and scene is not None:
-        ns = np.array(ng)
-        gid_np = np.asarray(gid)
-        valid_np = np.asarray(valid)
-        prim_np = np.asarray(prim)
-        u_np = np.asarray(u)
-        v_np = np.asarray(v)
+        # smooth limit normals via the per-patch evaluation GRIDS
+        # (interpolate_subdiv — the tessellated limit surface the accel
+        # itself was built from), sampled fully on-device for every hit
+        # lane at once. r3 called the ANALYTIC derivative path
+        # (PatchTable ladders) through a host round-trip per frame —
+        # measured as the bomberman frame's dominant cost.
         for g_id, g in scene.geometries.items():
             if not isinstance(g, SubdivMesh):
                 continue    # triangle dPdu/dPdv cross == +-Ng already
-            m = (gid_np == g_id) & valid_np
-            if not m.any():
-                continue
-            dv = scene.interpolate(g_id, prim_np[m], u_np[m], v_np[m],
-                                   derivatives=True)
-            ns[m] = np.asarray(jnp.cross(dv["dPdv"], dv["dPdu"]))
-        ng = jnp.asarray(ns)
+            m = valid & (gid == g_id)
+            _P, nrm = scene.interpolate(g_id, jnp.maximum(prim, 0), u, v)
+            ng = jnp.where(m[..., None], nrm, ng)
     img = _shade(kd, valid, d, ng, w, h)
     return img, w * h
 

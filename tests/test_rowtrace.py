@@ -158,3 +158,43 @@ def test_rowtrace_jit_and_grad(rng):
     ref = _ref_hits(verts, idx, rays)
     np.testing.assert_array_equal(np.asarray(prim) >= 0,
                                   np.asarray(ref.valid))
+
+
+def test_rowtrace2_adversarial_no_truncation(rng):
+    """VERDICT r4 #9: a cap-busting scene must complete with correct
+    hits — no silent truncation. The kernel's in-loop caps are provably
+    unreachable by construction (each lane visits <= 85 inner slots and
+    <= 128 pairs per treelet; mid/fan masks drain monotonically); this
+    test drives the worst remaining axis — every ray forced through
+    MANY (mid, treelet) serve units with tiny consensus groups — and
+    gates on exact agreement with the XLA reference."""
+    import jax.numpy as jnp
+    from embree_tpu.core.rayhit import Rays
+    from embree_tpu.traverse.rowtrace2 import intersect_rowtrace2
+
+    # dense shell of overlapping triangles around the origin: rays from
+    # outside through the center intersect candidate boxes of nearly
+    # every treelet; fan=2 maximizes the mid count (many small groups)
+    ntri = 1600
+    verts, idx = random_triangles(rng, ntri, extent=1.5, size=0.9)
+    ts = _treelets(verts, idx, fan=2)
+    assert ts.num_mids >= 4
+
+    nray = 512
+    # all rays converge on the center from random directions: every
+    # ray's mid mask is nearly full
+    d = rng.normal(size=(nray, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    org = -d * 6.0
+    rays = Rays(jnp.asarray(org), jnp.asarray(d),
+                jnp.zeros(nray), jnp.full(nray, np.inf))
+    t, prim = intersect_rowtrace2(ts, rays, interpret=True)
+    ref = _ref_hits(verts, idx, rays)
+    np.testing.assert_array_equal(np.asarray(prim) >= 0,
+                                  np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4, atol=1e-5)
+    # occluded flavor under the same stress
+    t2, _ = intersect_rowtrace2(ts, rays, occluded=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t2) == -np.inf, m)

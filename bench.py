@@ -28,7 +28,11 @@ import time
 import numpy as np
 
 SCENE_RES = 707       # triangle_sphere(707) = 998,284 triangles
-N_RAYS = 1 << 20
+# 2M incoherent rays per dispatch: same scene/ray distribution as the
+# reference's 1M-ray benchmark shape, doubled for device occupancy
+# (throughput is the metric; the TPU amortizes fixed dispatch/regroup
+# costs over the batch — fwd measured +7% at 2M vs 1M, BASELINE.md)
+N_RAYS = 1 << 21
 
 
 def main() -> int:
@@ -36,7 +40,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     import embree_tpu as et
-    from embree_tpu.diff.hit import reeval_hit
+    from embree_tpu.diff.hit import reeval_hit_verts
     from embree_tpu.scene.scene import scene_intersect
     from embree_tpu.verify.fixtures import triangle_sphere
 
@@ -58,16 +62,19 @@ def main() -> int:
 
     idxj = np.asarray(idx)  # numpy: captured by the jitted loss_fn
 
+    idxd = jnp.asarray(idxj)
+
     def loss_fn(vertices, c, r):
-        # rebuild differentiable leaf data from the parameter vertices;
-        # BVH structure + hit selection stay stop-gradient
-        tris = c.tris._replace(v0=vertices[idxj[:, 0]],
-                               v1=vertices[idxj[:, 1]],
-                               v2=vertices[idxj[:, 2]])
-        c2 = c._replace(tris=tris)
+        # BVH structure + hit selection stay stop-gradient; the hit is
+        # re-evaluated differentiably from the PARAMETER vertex table
+        # via one composed rays->corner gather (diff/hit.py
+        # reeval_hit_verts) — same gradient as rebuilding a per-triangle
+        # scene copy (tools/profile_bwd.py checks equivalence), one
+        # sorted segment-sum instead of chained scatters in the bwd
         sel = jax.lax.stop_gradient(scene_intersect(c, r, isa=isa))
-        h = reeval_hit(c2.tris, r, sel.gprim, sel.valid)
-        return jnp.sum(jnp.where(h.valid, h.t, 0.0))
+        t, _u, _v = reeval_hit_verts(vertices, idxd, r, sel.gprim,
+                                     sel.valid)
+        return jnp.sum(jnp.where(sel.valid, t, 0.0))
 
     f = jax.jit(jax.value_and_grad(loss_fn))
     vparam = jnp.asarray(verts)

@@ -35,13 +35,16 @@ def _gather_rows_fwd(table, idx):
 
 def _gather_rows_bwd(res, ct):
     # XLA's native gather-VJP is an unsorted scatter-add — measured
-    # 362 ms for 1M rows -> 500k on the v5e. Sorting the indices and
-    # segment-summing is 2.75x faster (131 ms) because the reduction
-    # becomes mostly-sequential memory traffic.
+    # 362 ms for 1M rows -> 500k on the v5e. Sorting the cotangent
+    # COLUMNS along with the index in ONE variadic lax.sort (payload
+    # sort, not argsort+take: 1M-row takes cost ~13 ms each on this
+    # chip while a keyed payload sort is ~7 ms total) and summing with
+    # indices_are_sorted=True makes the reduction sequential traffic.
     idx, T = res
-    order = jnp.argsort(idx)
-    g = jax.ops.segment_sum(jnp.take(ct, order, axis=0),
-                            jnp.take(idx, order), num_segments=T)
+    ops = (idx,) + tuple(ct[:, j] for j in range(ct.shape[1]))
+    s = jax.lax.sort(ops, num_keys=1)
+    g = jax.ops.segment_sum(jnp.stack(s[1:], axis=-1), s[0],
+                            num_segments=T, indices_are_sorted=True)
     return g, None
 
 
@@ -89,6 +92,44 @@ def reeval_hit(tris: TrianglePrims, rays: Rays, gprim, valid) -> Hits:
         gprim=jnp.where(valid, gprim, -1),
         inst_id=jnp.full(t.shape, -1, jnp.int32),
     )
+
+
+def reeval_hit_verts(vertices, tri_idx, rays: Rays, gprim, valid):
+    """Like reeval_hit but differentiates w.r.t. the VERTEX table
+    directly: gathers the winning primitive's three corners from
+    `vertices` in ONE composed gather (rays -> corner vertex ids via the
+    static connectivity `tri_idx`) instead of materializing a full
+    differentiable per-triangle copy of the scene first. Identical loss
+    semantics; the backward pass is one sorted segment-sum (3R -> V)
+    instead of a rays->prims segment-sum chained into three prims->verts
+    scatter-adds. Returns (t, u, v) only — the training-loss surface.
+
+    Reference analog: rtcInterpolate's vertex-buffer derivative path
+    (rtcore_geometry.h:234-338) — gradients exist w.r.t. the vertex
+    buffer, not a per-primitive copy."""
+    p = jnp.maximum(gprim, 0)
+    vidx = jnp.take(tri_idx, p, axis=0)              # (R, 3) int — discrete
+    vidx = jax.lax.stop_gradient(vidx)
+    g = _gather_rows(vertices, vidx.reshape(-1))     # (3R, 3)
+    g = g.reshape(p.shape + (3, 3))
+    v0, v1, v2 = g[..., 0, :], g[..., 1, :], g[..., 2, :]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    ng = cross(e1, e2)
+    den = dot(rays.dir, ng)
+    den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+    t = dot(v0 - rays.org, ng) / den_safe
+    pt = rays.org + t[..., None] * rays.dir
+    w = pt - v0
+    d00 = dot(e1, e1); d01 = dot(e1, e2); d11 = dot(e2, e2)
+    d20 = dot(w, e1); d21 = dot(w, e2)
+    denom = d00 * d11 - d01 * d01
+    denom_safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+    u = (d11 * d20 - d01 * d21) / denom_safe
+    v = (d00 * d21 - d01 * d20) / denom_safe
+    z = jnp.zeros_like(t)
+    return (jnp.where(valid, t, rays.tfar),
+            jnp.where(valid, u, z), jnp.where(valid, v, z))
 
 
 def intersect_diff(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hits:

@@ -122,7 +122,8 @@ def _clear_bit(words, idx, mask):
 
 
 def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
-                      in_cap: int, occluded: bool, cull: bool):
+                      in_cap: int, occluded: bool, cull: bool,
+                      dual: bool = False):
 
     def kernel(params, blocks, tre, mbox, *args):
         # inputs: 7 ray + t,prim,cur,seed + mid_words + fan_words
@@ -137,7 +138,11 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
         (t_o, prim_o, cur_o, seed_o, key_o) = outs[:5]
         mm_o = outs[5:5 + mid_words]
         fm_o = outs[5 + mid_words:]
-        stage, midstage, sem1, sem2 = scratch
+        if dual:
+            stage, stage2, midstage, sem1, sem1b, sem2 = scratch
+        else:
+            stage, midstage, sem1, sem2 = scratch
+            stage2 = None
 
         o_x, o_y, o_z = ox[:], oy[:], oz[:]
         d_x, d_y, d_z = dx[:], dy[:], dz[:]
@@ -150,13 +155,22 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
         tnear = tn[:]
         zero_i = jnp.zeros_like(t_in[:], jnp.int32)
 
-        def fetch_node(cur):
-            """Chunk-0 gather: 24 node-bound fields for inner slot cur."""
+        def fetch_node(cur, in_b):
+            """Chunk-0 gather: 24 node-bound fields for inner slot cur.
+            Dual mode: lanes walking the row's SECOND staged treelet
+            (in_b) gather from stage2 instead."""
             lane = jnp.bitwise_and(jnp.maximum(cur, 0), 127)
-            return [jnp.take_along_axis(stage[:, 2 * f, :], lane, axis=1)
-                    for f in range(24)]
+            out = []
+            for f in range(24):
+                v = jnp.take_along_axis(stage[:, 2 * f, :], lane, axis=1)
+                if dual:
+                    v2 = jnp.take_along_axis(stage2[:, 2 * f, :], lane,
+                                             axis=1)
+                    v = jnp.where(in_b, v2, v)
+                out.append(v)
+            return out
 
-        def walk(part, t, prim):
+        def walk(part, in_b, t, prim):
             """Two-phase treelet walk (v4). Phase 1 walks the implicit
             inner BVH4 with a 3-word NODE BITMASK (85 inner slots):
             each step FFS-picks the next pending inner node, gathers
@@ -224,12 +238,16 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 nm = list(carry[:NM_WORDS])
                 pm = list(carry[NM_WORDS:NM_WORDS + PM_WORDS])
                 iters = carry[NM_WORDS + PM_WORDS]
-                nxt = _ffs_words(nm)
-                have = nxt < BIG
-                nm = _clear_bit(nm, nxt, have)
-                cur = jnp.where(have, nxt, 0)
-                vals = fetch_node(cur)
-                nm, pm = node_visit(vals, cur, have, nm, pm)
+                # visit TWO pending inner nodes per iteration (visit
+                # order is irrelevant — leaf tests are deferred), so the
+                # per-iteration while-loop overhead amortizes over 2
+                for _u in range(2):
+                    nxt = _ffs_words(nm)
+                    have = nxt < BIG
+                    nm = _clear_bit(nm, nxt, have)
+                    cur = jnp.where(have, nxt, 0)
+                    vals = fetch_node(cur, in_b)
+                    nm, pm = node_visit(vals, cur, have, nm, pm)
                 return tuple(nm + pm + [iters + 1])
 
             def node_cond(carry):
@@ -240,9 +258,14 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
 
             # root step: every participating lane is at slot 0, so the
             # 24 fields are STATIC row reads (no gather)
-            root_vals = [jnp.broadcast_to(stage[:, 2 * f, 0:1],
-                                          t.shape)
-                         for f in range(24)]
+            root_vals = []
+            for f in range(24):
+                v = jnp.broadcast_to(stage[:, 2 * f, 0:1], t.shape)
+                if dual:
+                    v = jnp.where(in_b,
+                                  jnp.broadcast_to(stage2[:, 2 * f, 0:1],
+                                                   t.shape), v)
+                root_vals.append(v)
             nm0 = [zero_i] * NM_WORDS
             pm0 = [zero_i] * PM_WORDS
             nm0, pm0 = node_visit(root_vals, zero_i, part, nm0, pm0)
@@ -254,48 +277,61 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             def leaf_step(carry):
                 t, prim, iters = carry[:3]
                 pm = list(carry[3:])
-                p = _ffs_words(pm)
-                have = p < BIG
-                pm = _clear_bit(pm, p, have)
-                lane = jnp.bitwise_and(jnp.maximum(p, 0), 127)
-                vals = [jnp.take_along_axis(stage[:, 2 * f + 1, :], lane,
-                                            axis=1)
-                        for f in (0, 1, 2, 3, 4, 5, 6, 7, 8,
-                                  12, 13, 14, 15, 16, 17, 18, 19, 20,
-                                  24, 25)]
-                for q, pofs in ((0, 0), (1, 9)):
-                    v0x, v0y, v0z = vals[pofs], vals[pofs + 1], vals[pofs + 2]
-                    e1x, e1y, e1z = vals[pofs + 3], vals[pofs + 4], vals[pofs + 5]
-                    e2x, e2y, e2z = vals[pofs + 6], vals[pofs + 7], vals[pofs + 8]
-                    # Ng = cross(e2, e1) recomputed (6 fewer gathers;
-                    # matches build/treelets.py ng = cross(e2a, e1a))
-                    ngx = e2y * e1z - e2z * e1y
-                    ngy = e2z * e1x - e2x * e1z
-                    ngz = e2x * e1y - e2y * e1x
-                    pid_i = jax.lax.bitcast_convert_type(
-                        vals[18 + q], jnp.int32)
-                    cx = v0x - o_x
-                    cy = v0y - o_y
-                    cz = v0z - o_z
-                    rx = cy * d_z - cz * d_y
-                    ry = cz * d_x - cx * d_z
-                    rz = cx * d_y - cy * d_x
-                    den = ngx * d_x + ngy * d_y + ngz * d_z
-                    absden = jnp.abs(den)
-                    sgn = jnp.where(den >= 0.0, 1.0, -1.0)
-                    u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
-                    v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
-                    t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
-                    front = (den < 0.0) if cull else (den != 0.0)
-                    ok = have & front & (u_s >= 0.0) & (v_s >= 0.0) \
-                        & (u_s + v_s <= absden) & (absden * tnear < t_s) \
-                        & (t_s <= absden * t)
-                    if occluded:
-                        t = jnp.where(ok, NINF, t)
-                    else:
-                        t = jnp.where(ok, t_s / jnp.maximum(absden, 1e-37),
-                                      t)
-                        prim = jnp.where(ok, pid_i, prim)
+                # drain TWO pairs (4 triangles) per step: halves the
+                # while-loop iteration count (per-iteration FFS/cond
+                # overhead) for the common multi-pair drains
+                for _u in range(2):
+                    p = _ffs_words(pm)
+                    have = p < BIG
+                    pm = _clear_bit(pm, p, have)
+                    lane = jnp.bitwise_and(jnp.maximum(p, 0), 127)
+                    vals = []
+                    for f in (0, 1, 2, 3, 4, 5, 6, 7, 8,
+                              12, 13, 14, 15, 16, 17, 18, 19, 20, 24, 25):
+                        v = jnp.take_along_axis(stage[:, 2 * f + 1, :],
+                                                lane, axis=1)
+                        if dual:
+                            v2 = jnp.take_along_axis(
+                                stage2[:, 2 * f + 1, :], lane, axis=1)
+                            v = jnp.where(in_b, v2, v)
+                        vals.append(v)
+                    for q, pofs in ((0, 0), (1, 9)):
+                        v0x, v0y, v0z = (vals[pofs], vals[pofs + 1],
+                                         vals[pofs + 2])
+                        e1x, e1y, e1z = (vals[pofs + 3], vals[pofs + 4],
+                                         vals[pofs + 5])
+                        e2x, e2y, e2z = (vals[pofs + 6], vals[pofs + 7],
+                                         vals[pofs + 8])
+                        # Ng = cross(e2, e1) recomputed (6 fewer gathers;
+                        # matches build/treelets.py ng = cross(e2a, e1a))
+                        ngx = e2y * e1z - e2z * e1y
+                        ngy = e2z * e1x - e2x * e1z
+                        ngz = e2x * e1y - e2y * e1x
+                        pid_i = jax.lax.bitcast_convert_type(
+                            vals[18 + q], jnp.int32)
+                        cx = v0x - o_x
+                        cy = v0y - o_y
+                        cz = v0z - o_z
+                        rx = cy * d_z - cz * d_y
+                        ry = cz * d_x - cx * d_z
+                        rz = cx * d_y - cy * d_x
+                        den = ngx * d_x + ngy * d_y + ngz * d_z
+                        absden = jnp.abs(den)
+                        sgn = jnp.where(den >= 0.0, 1.0, -1.0)
+                        u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
+                        v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
+                        t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
+                        front = (den < 0.0) if cull else (den != 0.0)
+                        ok = have & front & (u_s >= 0.0) & (v_s >= 0.0) \
+                            & (u_s + v_s <= absden) \
+                            & (absden * tnear < t_s) \
+                            & (t_s <= absden * t)
+                        if occluded:
+                            t = jnp.where(ok, NINF, t)
+                        else:
+                            t = jnp.where(
+                                ok, t_s / jnp.maximum(absden, 1e-37), t)
+                            prim = jnp.where(ok, pid_i, prim)
                 if occluded:
                     # finished lanes drop their remaining pairs
                     pm = [jnp.where(t == NINF, 0, w) for w in pm]
@@ -342,32 +378,44 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             # still fan-pass every remaining candidate mid (BASELINE
             # measured 5.09 mid entries but 1.6 treelet walks per hit
             # ray). Unrolled 4x: up to 4 dead mids retired per turn.
-            pick = cur == _PICK
-            for _ in range(4):
-                nxt = _ffs_words(mm)
-                havebit = pick & (nxt < BIG)
-                lane = jnp.bitwise_and(jnp.maximum(nxt, 0), 127)
-                hi_half = nxt >= 128
-                mb = []
-                for f in range(6):
-                    c0 = jnp.take_along_axis(
-                        jnp.broadcast_to(mbox[f, 0, :][None, :],
-                                         (8, 128)), lane, axis=1)
-                    c1 = jnp.take_along_axis(
-                        jnp.broadcast_to(mbox[f, 1, :][None, :],
-                                         (8, 128)), lane, axis=1)
-                    mb.append(jnp.where(hi_half, c1, c0))
-                tmin_m, tmax_m = _slab(mb[0], mb[1], mb[2], mb[3], mb[4],
-                                       mb[5], rdx, rdy, rdz, orx, ory,
-                                       orz, tnear)
-                livemid = (tmin_m <= tmax_m) & (tmin_m <= t)
-                take = havebit & livemid
-                mm = _clear_bit(mm, nxt, havebit)
-                cur = jnp.where(take, nxt, cur)
-                seed = jnp.where(take, 0, seed)
-                pick = pick & ~take
-            none_left = pick & (_ffs_words(mm) == BIG)
-            cur = jnp.where(none_left, _DONE, cur)
+            def do_pick(args):
+                mm = list(args[:mid_words])
+                cur, seed = args[mid_words], args[mid_words + 1]
+                pick = cur == _PICK
+                for _ in range(4):
+                    nxt = _ffs_words(mm)
+                    havebit = pick & (nxt < BIG)
+                    lane = jnp.bitwise_and(jnp.maximum(nxt, 0), 127)
+                    hi_half = nxt >= 128
+                    mb = []
+                    for f in range(6):
+                        c0 = jnp.take_along_axis(
+                            jnp.broadcast_to(mbox[f, 0, :][None, :],
+                                             (8, 128)), lane, axis=1)
+                        c1 = jnp.take_along_axis(
+                            jnp.broadcast_to(mbox[f, 1, :][None, :],
+                                             (8, 128)), lane, axis=1)
+                        mb.append(jnp.where(hi_half, c1, c0))
+                    tmin_m, tmax_m = _slab(mb[0], mb[1], mb[2], mb[3],
+                                           mb[4], mb[5], rdx, rdy, rdz,
+                                           orx, ory, orz, tnear)
+                    livemid = (tmin_m <= tmax_m) & (tmin_m <= t)
+                    take = havebit & livemid
+                    mm = _clear_bit(mm, nxt, havebit)
+                    cur = jnp.where(take, nxt, cur)
+                    seed = jnp.where(take, 0, seed)
+                    pick = pick & ~take
+                none_left = pick & (_ffs_words(mm) == BIG)
+                cur = jnp.where(none_left, _DONE, cur)
+                return tuple(mm + [cur, seed])
+
+            # whole PICK phase (4x unroll: ~48 gathers + 4 slab/FFS
+            # passes) skipped when no lane is between mids this turn
+            out_p = jax.lax.cond(
+                jnp.any(cur == _PICK), do_pick, lambda a: a,
+                tuple(mm + [cur, seed]))
+            mm = list(out_p[:mid_words])
+            cur, seed = out_p[mid_words], out_p[mid_words + 1]
 
             # 2: per-row consensus mid; stage its fan-box row.
             # All 8 row DMAs are STARTED before any wait so their
@@ -403,7 +451,12 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             fm = list(fm)
             seed = jnp.where(need_seed, 1, seed)
 
-            # 4: per-row consensus treelet; stage (overlapped) + walk
+            # 4: per-row consensus treelet; stage (overlapped) + walk.
+            # Dual mode also stages the row's SECOND-lowest candidate
+            # treelet (same consensus mid — groups sharing a row are
+            # same-mid adjacent-treelet after the (mid,cand) key sort):
+            # lanes of group B walk stage2 in the same kernel walk, so
+            # one turn retires up to 16 (mid,treelet) units instead of 8
             cand = _ffs_words(fm)
             has_cand = served & (cand < BIG)
             candv = jnp.where(has_cand, cand, BIG)
@@ -414,19 +467,43 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                     pltpu.make_async_copy(
                         blocks.at[rm * fan + rt], stage.at[r],
                         sem1.at[r]).start()
+            row_tid = jnp.concatenate(
+                [jnp.full((1, 128), rt, jnp.int32) for rt in row_tids],
+                axis=0)
+            part_a = has_cand & (cand == row_tid)
+            if dual:
+                cand2v = jnp.where(has_cand & (cand != row_tid), cand,
+                                   BIG)
+                row_tids2 = [jnp.min(cand2v[r:r + 1, :]) for r in range(8)]
+                for r in range(8):
+                    @pl.when(row_tids2[r] < BIG)
+                    def _(rm=row_mids[r], rt=row_tids2[r], r=r):
+                        pltpu.make_async_copy(
+                            blocks.at[rm * fan + rt], stage2.at[r],
+                            sem1b.at[r]).start()
+                row_tid2 = jnp.concatenate(
+                    [jnp.full((1, 128), rt, jnp.int32)
+                     for rt in row_tids2], axis=0)
+                in_b = has_cand & (cand == row_tid2)
+            else:
+                in_b = jnp.zeros_like(part_a)
             for r in range(8):
                 @pl.when(row_tids[r] < BIG)
                 def _(rm=row_mids[r], rt=row_tids[r], r=r):
                     pltpu.make_async_copy(
                         blocks.at[rm * fan + rt], stage.at[r],
                         sem1.at[r]).wait()
-            row_tid = jnp.concatenate(
-                [jnp.full((1, 128), rt, jnp.int32) for rt in row_tids],
-                axis=0)
-            part = has_cand & (cand == row_tid)
+            if dual:
+                for r in range(8):
+                    @pl.when(row_tids2[r] < BIG)
+                    def _(rm=row_mids[r], rt=row_tids2[r], r=r):
+                        pltpu.make_async_copy(
+                            blocks.at[rm * fan + rt], stage2.at[r],
+                            sem1b.at[r]).wait()
+            part = part_a | in_b
             fm = _clear_bit(fm, cand, part)
             # no participants -> the walk's while cond is false on entry
-            t, prim = walk(part, t, prim)
+            t, prim = walk(part, in_b, t, prim)
             if occluded:
                 cur = jnp.where(t == NINF, _DONE, cur)
 
@@ -468,11 +545,11 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
 @functools.partial(jax.jit,
                    static_argnames=("fan", "mid_words", "fan_words",
                                     "ntiles", "in_cap", "occluded", "cull",
-                                    "interpret"))
+                                    "interpret", "dual"))
 def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
                    mid_words: int, fan_words: int, ntiles: int,
                    in_cap: int, occluded: bool, cull: bool,
-                   interpret: bool):
+                   interpret: bool, dual: bool = False):
     params = jnp.zeros((1,), jnp.int32)
     tile = (8, 128)
     ray_spec = pl.BlockSpec(tile, lambda i, *_: (i, 0),
@@ -489,12 +566,14 @@ def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
                   mbox_spec]
         + [ray_spec] * n_in,
         out_specs=tuple([ray_spec] * n_out),
-        scratch_shapes=[
-            pltpu.VMEM((8, 2 * F_FIELDS, 128), jnp.float32),
-            pltpu.VMEM((8, 6, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((8, 2 * F_FIELDS, 128), jnp.float32)]
+            + ([pltpu.VMEM((8, 2 * F_FIELDS, 128), jnp.float32)]
+               if dual else [])
+            + [pltpu.VMEM((8, 6, 128), jnp.float32),
+               pltpu.SemaphoreType.DMA((8,))]
+            + ([pltpu.SemaphoreType.DMA((8,))] if dual else [])
+            + [pltpu.SemaphoreType.DMA((8,))]),
     )
     dts = ([jnp.float32, jnp.int32, jnp.int32, jnp.int32, jnp.int32]
            + [jnp.int32] * (mid_words + fan_words))
@@ -502,7 +581,7 @@ def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
                       for dt in dts)
     return pl.pallas_call(
         _rowtrace2_kernel(fan, mid_words, fan_words, in_cap, occluded,
-                          cull),
+                          cull, dual),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -632,6 +711,10 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
     def round_at(size):
         ntiles = size // 1024
         in_cap = _in_cap_for(size, Rp)
+        # dual-treelet service only while rows are dense (large buckets):
+        # straggler rounds rarely have two same-mid groups in one row, so
+        # the doubled walk gathers would be pure overhead there
+        dual = size * 4 >= Rp
 
         def branch(st):
             def t2(i):
@@ -641,7 +724,7 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
                                     for w in range(mid_words + fan_words))
             outs = _run_rowtrace2(blocks, tre_boxes, mbox, tiles, fan,
                                   mid_words, fan_words, ntiles, in_cap,
-                                  occluded, cull, interpret)
+                                  occluded, cull, interpret, dual)
             st = list(st)
 
             def fl(a):

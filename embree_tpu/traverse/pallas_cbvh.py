@@ -43,7 +43,9 @@ from ..build.cbvh import (TABLE_BORDER, TABLE_MID, TABLE_Z, CompressedTiles,
 from .cbvh import CompressedAccel, _CHit
 from .pallas_packet import VMEM_TABLE_BUDGET, _ray_tiles, _rcp_safe
 
-CSUB = 32
+CSUB = 8     # (8,128) ray packets: sublane minimum; tighter per-packet
+             # pop/tile-entry unions beat DMA amortization for the cbvh
+             # walk (32->8 measured 2.86->3.32 fps on bomberman)
 TILE = (CSUB, 128)
 
 ROBUST_MIN = np.float32(1.0 - 3.0 * 2.0 ** -23)

@@ -9,28 +9,34 @@ verify.cpp:4473's benchmark shape) means each popped node serves only
 vector-register stack), which needs a per-lane node fetch — Mosaic's
 `tpu.dynamic_gather` (lane-indexed gather from an (8,128) register) —
 and that primitive handles ~128-lane tables, so the scene is cut into
-treelets whose tables fit one or two 128-lane chunks:
+treelets whose tables fit 128-lane chunks:
 
   scene
-   └─ mids   (≤ ~512): union boxes of FAN consecutive treelets;
-   └─ treelets (mid*FAN + b): ≤ 256 prims each, laid out as an IMPLICIT
-      complete BVH4 — 85 inner slots (children of i = 4i+1) over 128
-      leaf-pair slots (L3 node i∈[21,85) has pairs 128+2(i-21)+{0,1};
-      its c≥2 child slots carry +inf bounds so they are never pushed).
-      Leaf slots inline TWO precomputed-Moeller triangles (v0/e1/e2/Ng,
-      triangle_intersector_moeller.h:75-112 layout) plus their global
-      prim ids — no separate prim table, so the per-lane fetch is a
-      single gather per field.
+   └─ mids   (≤ 256): union boxes of FAN consecutive treelets;
+   └─ treelets (mid*FAN + b): ≤ 512 prims each, laid out as an IMPLICIT
+      complete BVH4 — 85 inner slots (children of i = 4i+1) over 256
+      leaf-pair slots (L3 node i∈[21,85) has pairs 4(i-21)+{0..3}).
+      Leaf slots inline TWO precomputed-Moeller triangles (v0/e1/e2,
+      triangle_intersector_moeller.h:75-112 layout; Ng is recomputed
+      in-kernel from e1×e2) plus their global prim ids — no separate
+      prim table, so the per-lane fetch is a single gather per field.
 
 Treelet membership comes from cutting the binary SAH tree (build/sah.py)
 at subtrees with ≤ P_CAP prims, so treelet quality is SAH quality; the
 interior quartering rides the SAH prim order. All arrays are built
 vectorized over every treelet at once (host numpy, commit-time).
 
-Block layout per treelet, f32 (2*F_FIELDS, 128) rows (chunk-major per
-field): chunk 0 lane s<85 = inner node fields [lo_x*4|lo_y*4|lo_z*4|
-hi_x*4|hi_y*4|hi_z*4|...]; chunk 1 lane j = leaf pair j fields
-[v0a|e1a|e2a|Nga|v0b|e1b|e2b|Ngb|pid_a|pid_b].
+Block layout per treelet, f32 (BLOCK_ROWS=52, 128) rows:
+  rows 0..11   packed CONSERVATIVE-bf16 node bounds, lanes 0..84:
+               row a*4+c holds, per inner slot, (lo rounded down,
+               hi rounded up) of axis a child c as two bf16 halves of
+               one f32 lane (hi16 = lo bound, lo16 = hi bound) — the
+               QuantizedNode analog (bvh.h:1150-1324): halves both the
+               node-row DMA bytes and the per-visit gather count.
+  rows 12..31  leaf chunk 0 (pairs 0..127), 20 fields:
+               v0a/e1a/e2a (9), v0b/e1b/e2b (9), pid_a, pid_b
+  rows 32..51  leaf chunk 1 (pairs 128..255), same 20 fields.
+Prim ids are stored as int32 BIT PATTERNS in the f32 planes.
 """
 from __future__ import annotations
 
@@ -38,17 +44,19 @@ from typing import NamedTuple
 
 import numpy as np
 
-F_FIELDS = 26          # fields per slot (24 bounds / 24 tri floats + 2 pids)
 N_INNER = 85           # 1 + 4 + 16 + 64 implicit inner slots
-N_PAIRS = 128          # leaf-pair slots (chunk 1)
+N_PAIRS = 256          # leaf-pair slots (2 chunks of 128)
 P_CAP = 2 * N_PAIRS    # prims per treelet
 L3_BASE = 21           # first L3 inner slot
+NODE_ROWS = 12         # packed-bf16 bound rows (2 fields per row)
+LEAF_FIELDS = 20       # per-chunk leaf rows
+BLOCK_ROWS = NODE_ROWS + 2 * LEAF_FIELDS   # 52
 
 
 class TreeletSceneNP(NamedTuple):
     """Host-side build output."""
 
-    blocks: np.ndarray       # (Ntr_pad, 2*F_FIELDS, 128) f32 treelet blocks
+    blocks: np.ndarray       # (Ntr_pad, BLOCK_ROWS, 128) f32 treelet blocks
     mid_boxes: np.ndarray    # (M, 6) f32 [lo3 hi3]
     tre_boxes: np.ndarray    # (M, 6, FAN) f32 per-mid treelet plane rows
     fan: int
@@ -100,8 +108,26 @@ jax.tree_util.register_pytree_node_class(TreeletScene)
 def choose_fan(num_prims: int) -> int:
     """Pick FAN (treelets per mid) so the mid count stays small enough
     for the XLA mid scan (~150 boxes) while FAN stays <= 128 lanes."""
-    est_treelets = max(1, num_prims // 170)
+    est_treelets = max(1, num_prims // 300)
     return int(min(128, max(8, -(-est_treelets // 150))))
+
+
+def pack_bf16_bounds(lo, hi):
+    """Pack conservative bf16 bounds into one f32 bit pattern per value
+    pair: hi 16 bits = lo bound rounded DOWN to bf16, lo 16 bits = hi
+    bound rounded UP. Directed rounding keeps the slab test conservative
+    (no missed hits, only extra visits) — the QuantizedNode floor/ceil
+    correction (bvh.h:1220-1274) expressed as bf16 truncation."""
+    lob = np.ascontiguousarray(lo, np.float32).view(np.uint32)
+    hib = np.ascontiguousarray(hi, np.float32).view(np.uint32)
+    lo_t = lob & np.uint32(0xFFFF0000)
+    bump = ((lob & np.uint32(0xFFFF)) != 0) & ((lob >> 31) == 1)
+    lo_t = np.where(bump, lo_t + np.uint32(0x10000), lo_t)  # toward -inf
+    hi_t = hib & np.uint32(0xFFFF0000)
+    bumph = ((hib & np.uint32(0xFFFF)) != 0) & ((hib >> 31) == 0)
+    hi_t = np.where(bumph, hi_t + np.uint32(0x10000), hi_t)  # toward +inf
+    packed = lo_t | (hi_t >> np.uint32(16))
+    return packed.view(np.float32)
 
 
 def _morton_np(c, lo, hi):
@@ -286,13 +312,11 @@ def build_treelet_scene(v0, v1, v2, prim_ids, fan: int = 40) -> TreeletSceneNP:
                     prim_ids[gsafe]).astype(np.int32).reshape(Ntr_pad, P_CAP)
 
     # --- implicit complete BVH4 bounds (vectorized over all treelets) ---
-    pair_lo = tlo.reshape(Ntr_pad, N_PAIRS, 2, 3).min(2)   # (N,128,3)
+    pair_lo = tlo.reshape(Ntr_pad, N_PAIRS, 2, 3).min(2)   # (N,256,3)
     pair_hi = thi.reshape(Ntr_pad, N_PAIRS, 2, 3).max(2)
-    # L3: 64 nodes, children = pairs (2j, 2j+1), slots c>=2 empty
-    l3_lo = np.full((Ntr_pad, 64, 4, 3), np.inf, np.float32)
-    l3_hi = np.full((Ntr_pad, 64, 4, 3), -np.inf, np.float32)
-    l3_lo[:, :, :2] = pair_lo.reshape(Ntr_pad, 64, 2, 3)
-    l3_hi[:, :, :2] = pair_hi.reshape(Ntr_pad, 64, 2, 3)
+    # L3: 64 nodes, children = pairs 4j+{0..3}
+    l3_lo = pair_lo.reshape(Ntr_pad, 64, 4, 3)
+    l3_hi = pair_hi.reshape(Ntr_pad, 64, 4, 3)
     lvl_lo = [l3_lo]
     lvl_hi = [l3_hi]
     for sz in (16, 4, 1):   # L2, L1, L0
@@ -306,29 +330,31 @@ def build_treelet_scene(v0, v1, v2, prim_ids, fan: int = 40) -> TreeletSceneNP:
                              axis=1)
 
     # --- block packing ---
-    blocks = np.zeros((Ntr_pad, 2 * F_FIELDS, 128), np.float32)
-    # chunk 0 (even rows): node fields at lanes 0..84
+    blocks = np.zeros((Ntr_pad, BLOCK_ROWS, 128), np.float32)
+    # rows 0..11: packed conservative-bf16 node bounds at lanes 0..84
     for a in range(3):
         for c in range(4):
-            blocks[:, 2 * (a * 4 + c), :N_INNER] = node_lo[:, :, c, a]
-            blocks[:, 2 * ((3 + a) * 4 + c), :N_INNER] = node_hi[:, :, c, a]
-    # chunk 1 (odd rows): leaf pair fields
+            blocks[:, a * 4 + c, :N_INNER] = pack_bf16_bounds(
+                node_lo[:, :, c, a], node_hi[:, :, c, a])
+    # leaf chunks: 20 fields each (Ng is recomputed in-kernel from e1/e2)
     e1a = tv0 - tv1
     e2a = tv2 - tv0
-    ng = np.cross(e2a, e1a)
-    trif = np.concatenate([tv0, e1a, e2a, ng], axis=-1)  # (N, P_CAP, 12)
+    trif = np.concatenate([tv0, e1a, e2a], axis=-1)  # (N, P_CAP, 9)
     trif = np.nan_to_num(trif, nan=0.0)
-    # degenerate pad prims: Ng=0 -> den=0 -> never hits
-    pairs = trif.reshape(Ntr_pad, N_PAIRS, 2, 12)
-    for f in range(12):
-        blocks[:, 2 * f + 1, :] = pairs[:, :, 0, f].reshape(Ntr_pad, 128)
-        blocks[:, 2 * (12 + f) + 1, :] = pairs[:, :, 1, f].reshape(Ntr_pad,
-                                                                   128)
+    # degenerate pad prims: e1=e2=0 -> Ng=0 -> den=0 -> never hits
+    pairs = trif.reshape(Ntr_pad, N_PAIRS, 2, 9)
+    for ck, sl in ((0, slice(0, 128)), (1, slice(128, 256))):
+        base = NODE_ROWS + ck * LEAF_FIELDS
+        for f in range(9):
+            blocks[:, base + f, :] = pairs[:, sl, 0, f]
+            blocks[:, base + 9 + f, :] = pairs[:, sl, 1, f]
     pidp = tpid.reshape(Ntr_pad, N_PAIRS, 2)
-    blocks[:, 2 * 24 + 1, :] = pidp[:, :, 0].view(np.float32)
-    blocks[:, 2 * 25 + 1, :] = pidp[:, :, 1].view(np.float32)
+    for ck, sl in ((0, slice(0, 128)), (1, slice(128, 256))):
+        base = NODE_ROWS + ck * LEAF_FIELDS
+        blocks[:, base + 18, :] = pidp[:, sl, 0].view(np.float32)
+        blocks[:, base + 19, :] = pidp[:, sl, 1].view(np.float32)
 
-    # --- treelet root boxes + mid boxes ---
+    # --- treelet root boxes + mid boxes (exact f32, pre-quantization) ---
     t_lo = node_lo.reshape(Ntr_pad, -1, 3).min(1)
     t_hi = node_hi.reshape(Ntr_pad, -1, 3).max(1)
     t_lo = np.where(np.isfinite(t_lo), t_lo, np.inf)

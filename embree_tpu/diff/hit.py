@@ -40,6 +40,12 @@ def _gather_rows_bwd(res, ct):
     # sort, not argsort+take: 1M-row takes cost ~13 ms each on this
     # chip while a keyed payload sort is ~7 ms total) and summing with
     # indices_are_sorted=True makes the reduction sequential traffic.
+    # This column-split form requires the (rows, cols) gather shape the
+    # forward produces from 1-D idx.
+    assert ct.ndim == 2, (
+        "_gather_rows backward expects a rank-2 cotangent (1-D row "
+        f"indices in the forward); got ct.ndim={ct.ndim}. Reshape idx "
+        "to 1-D before calling _gather_rows.")
     idx, T = res
     ops = (idx,) + tuple(ct[:, j] for j in range(ct.shape[1]))
     s = jax.lax.sort(ops, num_keys=1)
@@ -106,7 +112,14 @@ def reeval_hit_verts(vertices, tri_idx, rays: Rays, gprim, valid):
 
     Reference analog: rtcInterpolate's vertex-buffer derivative path
     (rtcore_geometry.h:234-338) — gradients exist w.r.t. the vertex
-    buffer, not a per-primitive copy."""
+    buffer, not a per-primitive copy.
+
+    CONSTRAINT: `gprim` indexes `tri_idx` directly, so this is only
+    correct for a SINGLE triangle-mesh geometry whose committed prim
+    order equals the input connectivity order (no quad split, no
+    multi-geometry remap, no uv_flip) — true for bench.py's sphere.
+    For general scenes use reeval_hit, which goes through the
+    committed per-prim tables (uv_flip included)."""
     p = jnp.maximum(gprim, 0)
     vidx = jnp.take(tri_idx, p, axis=0)              # (R, 3) int — discrete
     vidx = jax.lax.stop_gradient(vidx)

@@ -60,7 +60,15 @@ DEFAULT_SUB = 64                # sublanes per packet tile (rays = SUB*128)
                                 # the sorted 1M incoherent workload)
 NT_PER_ROW = 10                 # tris per row (10 x 12 floats + 8 pad)
 MAX_LEAF = 8                    # builder max_leaf_size must stay <= 11
-STACK_DEPTH = 160
+# Shared-stack depth. The K-wide pop schedule is partly breadth-first,
+# so the stack can far exceed the single-ray DFS bound (W-1)*maxDepth:
+# round-5 hardware check caught the old 160-deep stack DROPPING pushes
+# (~5% of hits lost at 2M rays / 1M prims). The pop width now adapts
+# near the limit (see step()); the depth leaves (W-1)*2*(32+8) DFS
+# headroom (embree maxDepth, bvh.h:135-137) above the adaptive band,
+# making overflow unreachable; an overflow counter is emitted and gated
+# in tests regardless.
+STACK_DEPTH = 1024
 ROBUST_MIN = np.float32(1.0 - 3.0 * 2.0 ** -23)
 ROBUST_MAX = np.float32(1.0 + 3.0 * 2.0 ** -23)
 INF = np.float32(np.inf)
@@ -217,8 +225,42 @@ _SORT_NETS = {
 }
 
 
+def _tri_leaf_test(ctx, fld, p, t, prim, occluded: bool, cull: bool):
+    """Precomputed-Moeller triangle leaf (triangle_intersector_moeller.h
+    :69-130); fld = the 12 packed floats [v0 e1 e2 Ng]."""
+    o_x, o_y, o_z = ctx["o"]
+    d_x, d_y, d_z = ctx["d"]
+    tnear = ctx["tnear"]
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, ngx, ngy, ngz = fld
+    cx = v0x - o_x; cy = v0y - o_y; cz = v0z - o_z
+    rx = cy * d_z - cz * d_y
+    ry = cz * d_x - cx * d_z
+    rz = cx * d_y - cy * d_x
+    den = ngx * d_x + ngy * d_y + ngz * d_z
+    absden = jnp.abs(den)
+    sgn = jnp.where(den >= 0.0, 1.0, -1.0)
+    u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
+    v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
+    t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
+    # EMBREE_BACKFACE_CULLING variant: front-facing only
+    front = (den < 0.0) if cull else (den != 0.0)
+    ok = front & (u_s >= 0.0) & (v_s >= 0.0) \
+        & (u_s + v_s <= absden) \
+        & (absden * tnear < t_s) & (t_s <= absden * t)
+    if occluded:
+        return jnp.where(ok, -INF, t), prim
+    t_hit = t_s / jnp.maximum(absden, 1e-37)
+    return jnp.where(ok, t_hit, t), jnp.where(ok, p, prim)
+
+
+# leaf variant registry: name -> (floats per prim, prims per row, test)
+# — the PrimitiveType vtable analog (kernels/common/primitive.h)
+LEAF_VARIANTS = {"tri": (12, NT_PER_ROW, _tri_leaf_test)}
+
+
 def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
-                         K: int = 4, width: int = 4, cull: bool = False):
+                         K: int = 4, width: int = 4, cull: bool = False,
+                         leaf: str = "tri"):
     """v3 kernel: unified node/leaf stack + K-wide pops.
 
     v1/v2 profiling on v5e shows per-pop cost is the serial chain
@@ -228,7 +270,13 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
     DMA latency is paid once per iteration (amortized K ways) and the
     4*K reductions issue as independent chains the VPU can pipeline.
     Leaves ride the stack as tagged refs (embree NodeRef, bvh.h:118-141)
-    so leaf rows batch the same way."""
+    so leaf rows batch the same way.
+
+    `leaf` selects the typed-leaf test from LEAF_VARIANTS ("tri", or the
+    hair "cone"/"ribbon" variants registered by traverse/pallas_hair) —
+    the TPU expression of the reference's per-primitive intersector
+    tables (accel.h Intersector1, primitive.h vtable)."""
+    NF, NTR, leaf_test = LEAF_VARIANTS[leaf]
 
     def kernel(params, nodes, tdata,
                ox, oy, oz, dx, dy, dz, tn, tf,
@@ -240,6 +288,8 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
         o_x, o_y, o_z = ox[:], oy[:], oz[:]
         d_x, d_y, d_z = dx[:], dy[:], dz[:]
         tnear = tn[:]
+        ctx = {"o": (o_x, o_y, o_z), "d": (d_x, d_y, d_z),
+               "rd": (rdx, rdy, rdz), "tnear": tnear}
 
         def node_dma(i, node):
             return pltpu.make_async_copy(nodes.at[node], nrow.at[i],
@@ -257,7 +307,7 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
             @pl.when((ref < 0) & (ref != SENT))
             def _():
                 v = -ref - 1
-                leaf_dma(i, (v >> 4) // NT_PER_ROW).start()
+                leaf_dma(i, (v >> 4) // NTR).start()
 
         def wait_ref(i, ref):
             @pl.when(ref >= 0)
@@ -267,54 +317,28 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
             @pl.when((ref < 0) & (ref != SENT))
             def _():
                 v = -ref - 1
-                leaf_dma(i, (v >> 4) // NT_PER_ROW).wait()
+                leaf_dma(i, (v >> 4) // NTR).wait()
 
         def mt_leaf(i, ref, t, prim):
             v = -ref - 1
             start = v >> 4
             cnt = v & 15
-            row = start // NT_PER_ROW
+            row = start // NTR
 
             def body(k, carry):
                 t, prim = carry
                 p = start + k
-                rr = p // NT_PER_ROW - row
-                tc = (p % NT_PER_ROW) * 12
-                # precomputed [v0 e1 e2 Ng] rows (pack_scene)
-                v0x = lbuf[i, rr, tc + 0]; v0y = lbuf[i, rr, tc + 1]
-                v0z = lbuf[i, rr, tc + 2]
-                e1x = lbuf[i, rr, tc + 3]; e1y = lbuf[i, rr, tc + 4]
-                e1z = lbuf[i, rr, tc + 5]
-                e2x = lbuf[i, rr, tc + 6]; e2y = lbuf[i, rr, tc + 7]
-                e2z = lbuf[i, rr, tc + 8]
-                ngx = lbuf[i, rr, tc + 9]; ngy = lbuf[i, rr, tc + 10]
-                ngz = lbuf[i, rr, tc + 11]
-                cx = v0x - o_x; cy = v0y - o_y; cz = v0z - o_z
-                rx = cy * d_z - cz * d_y
-                ry = cz * d_x - cx * d_z
-                rz = cx * d_y - cy * d_x
-                den = ngx * d_x + ngy * d_y + ngz * d_z
-                absden = jnp.abs(den)
-                sgn = jnp.where(den >= 0.0, 1.0, -1.0)
-                u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
-                v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
-                t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
-                # EMBREE_BACKFACE_CULLING variant: front-facing only
-                front = (den < 0.0) if cull else (den != 0.0)
-                ok = front & (u_s >= 0.0) & (v_s >= 0.0) \
-                    & (u_s + v_s <= absden) \
-                    & (absden * tnear < t_s) & (t_s <= absden * t)
-                if occluded:
-                    return jnp.where(ok, -INF, t), prim
-                t_hit = t_s / jnp.maximum(absden, 1e-37)
-                return jnp.where(ok, t_hit, t), jnp.where(ok, p, prim)
+                rr = p // NTR - row
+                tc = (p % NTR) * NF
+                fld = [lbuf[i, rr, tc + j] for j in range(NF)]
+                return leaf_test(ctx, fld, p, t, prim, occluded, cull)
 
             return jax.lax.fori_loop(0, jnp.minimum(cnt, MAX_LEAF), body,
                                      (t, prim))
 
         W = width
 
-        def process_node(i, t, prim, sp):
+        def process_node(i, t, prim, sp, drops):
             keys, refs, pushes = [], [], []
             for c in range(W):
                 lox = nrow[i, 0 * W + c]; loy = nrow[i, 1 * W + c]
@@ -352,9 +376,10 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
             depth_limit = STACK_DEPTH if W <= 4 else STACK_DEPTH * 2
             for k in range(W):
                 sp_k = sp
-                # overflow guard: drop pushes past the scratch depth
-                # (conservative miss beats silent SMEM corruption; the
-                # width-aware depth makes this unreachable in practice)
+                # overflow guard: drop pushes past the scratch depth —
+                # unreachable under the adaptive pop width (step()), and
+                # COUNTED so tests can gate on zero drops (a dropped
+                # push is a silently lost hit)
                 can = pushes[k] & (sp_k < depth_limit)
 
                 @pl.when(can)
@@ -363,17 +388,28 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                     dstack[sp_k] = keys[k]
 
                 sp = sp + can.astype(jnp.int32)
-            return t, prim, sp
+                drops = drops + (pushes[k] & ~can).astype(jnp.int32)
+            return t, prim, sp, drops
+
+        # adaptive pop width: K-wide pops push up to K*W refs per
+        # iteration, so near the depth limit the schedule narrows to
+        # single-pop DFS, whose residual growth is bounded by
+        # (W-1)*maxDepth — together with the headroom below, the stack
+        # provably cannot overflow (the r5 fix for the 160-deep stack
+        # silently dropping pushes at benchmark scale)
+        depth_limit = STACK_DEPTH if W <= 4 else STACK_DEPTH * 2
+        eff_depth = depth_limit - ((W - 1) * 80 + K * W)
 
         def step(carry):
-            sp, t, prim, iters, npops, ltests = carry
+            sp, t, prim, iters, npops, ltests, drops = carry
             # pop-cull (bvh_intersector1.cpp:83-88): a stacked subtree
             # whose entry distance exceeds every ray's current best t
             # cannot improve any hit — skip it (fires on coherent all-hit
             # packets; t stays +inf for missing rays, so incoherent
             # packets pay only the max-reduction)
             tmax_cur = jnp.max(t)
-            npop = jnp.minimum(sp, K)
+            npop = jnp.minimum(jnp.minimum(sp, K),
+                               jnp.maximum(1, (eff_depth - sp) // W))
             refs = []
             for i in range(K):
                 idx = jnp.maximum(sp - 1 - i, 0)
@@ -387,10 +423,10 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                 wait_ref(i, refs[i])
                 is_node = refs[i] >= 0
                 is_leaf = (refs[i] < 0) & (refs[i] != SENT)
-                t, prim, sp = jax.lax.cond(
+                t, prim, sp, drops = jax.lax.cond(
                     is_node,
                     lambda a, i=i: process_node(i, *a),
-                    lambda a: a, (t, prim, sp))
+                    lambda a: a, (t, prim, sp, drops))
                 t, prim = jax.lax.cond(
                     is_leaf,
                     lambda tp, i=i: mt_leaf(i, refs[i], *tp),
@@ -400,7 +436,7 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
                 npops = npops + is_node.astype(jnp.int32)
                 ltests = ltests + jnp.where(is_leaf,
                                             (-refs[i] - 1) & 15, 0)
-            return sp, t, prim, iters + 1, npops, ltests
+            return sp, t, prim, iters + 1, npops, ltests, drops
 
         if occluded:
             def cond(carry):
@@ -413,29 +449,31 @@ def _traversal_kernel_v3(occluded: bool, sub: int = DEFAULT_SUB,
         stack[0] = 0  # root
         dstack[0] = -INF
         prim0 = jnp.full((sub, 128), -1, jnp.int32)
-        sp, t, prim, iters, npops, ltests = jax.lax.while_loop(
+        sp, t, prim, iters, npops, ltests, drops = jax.lax.while_loop(
             cond, step,
             (jnp.int32(1), tf[:], prim0, jnp.int32(0), jnp.int32(0),
-             jnp.int32(0)))
+             jnp.int32(0), jnp.int32(0)))
 
         t_out[:] = t
         prim_out[:] = prim
         bid = pl.program_id(0)
         stats_out[bid, 0] = npops
         stats_out[bid, 1] = ltests
+        stats_out[bid, 2] = drops
 
     return kernel
 
 
 def _pallas_call_v3(occluded: bool, num_blocks: int, interpret: bool,
                     sub: int = DEFAULT_SUB, tables_in_hbm: bool = False,
-                    K: int = 4, width: int = 4, cull: bool = False):
+                    K: int = 4, width: int = 4, cull: bool = False,
+                    leaf: str = "tri"):
     table_spec = pl.BlockSpec(memory_space=pltpu.ANY if tables_in_hbm
                               else pltpu.VMEM)
     tile = (sub, 128)
     ray_spec = pl.BlockSpec(tile, lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _traversal_kernel_v3(occluded, sub, K, width, cull),
+        _traversal_kernel_v3(occluded, sub, K, width, cull, leaf),
         grid=(num_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   table_spec, table_spec] + [ray_spec] * 8,
@@ -444,7 +482,7 @@ def _pallas_call_v3(occluded: bool, num_blocks: int, interpret: bool,
         out_shape=(
             jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.float32),
             jax.ShapeDtypeStruct((num_blocks * sub, 128), jnp.int32),
-            jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
+            jax.ShapeDtypeStruct((num_blocks, 3), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH if width <= 4 else STACK_DEPTH * 2,),

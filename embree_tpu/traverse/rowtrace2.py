@@ -1,7 +1,7 @@
 """Per-lane treelet traversal v2 — bitmask chains + in-kernel turns.
 
-v1 (rowtrace.py) pays one FULL outer round (sort + dispatch + restage)
-per (ray, treelet) visit and rescans all mid/fan boxes on every visit;
+v1 paid one FULL outer round (sort + dispatch + restage) per
+(ray, treelet) visit and rescanned all mid/fan boxes on every visit;
 with (mid, cand) groups of ~50 rays against 128-lane rows, most lanes
 wait most rounds (measured: 1633 rounds / 0.42 Mray/s at 1M prims/rays).
 v2 restructures the schedule around two ideas:
@@ -27,13 +27,25 @@ v2 restructures the schedule around two ideas:
   turns. Per-lane mid ids and fan ids advance monotonically, so the
   row consensus (a running min) starves no lane.
 
-The treelet walk itself (implicit complete BVH4 over (8,128) vector
-registers, per-lane stacks, dynamic_gather node fetch) is v1's,
-unchanged — reference analog bvh_intersector1.cpp:41-127.
+Round 5 ("v5") doubled the treelet grain per the round-4 ledger
+(BASELINE.md: fragmentation is set by rays-per-treelet group density,
+so the lever is bigger GROUPS): treelets now hold up to 512 prims in
+256 leaf pairs over the same 85 implicit inner slots (L3 nodes carry
+FOUR pair children), and node bounds ride PACKED CONSERVATIVE-bf16
+rows (build/treelets.py pack_bf16_bounds — the stock QuantizedNode
+analog, bvh.h:1150-1324), so a node visit costs 12 gathers instead of
+24 and a 26 KB block serves twice the prims. Leaf pairs drain in two
+128-lane chunks. The round-4 dual-treelet service (+2.4% for a 2x
+complexity tax) was removed.
 
 Scene-size cap: mid masks hold MAX_MID_WORDS*32 mids; with fan<=128
-that bounds rowtrace scenes to ~8M prims (larger scenes keep the
-packet path; scene.py dispatch checks `fits_rowtrace2`).
+and ~256-prim average treelets that bounds rowtrace scenes to ~16M
+prims (larger scenes keep the packet path; scene.py dispatch checks
+`fits_rowtrace2`).
+
+Reference analogs: single-ray traversal bvh_intersector1.cpp:41-127,
+quantized nodes bvh.h:1150-1324, Moeller triangles
+triangle_intersector_moeller.h:75-112.
 """
 from __future__ import annotations
 
@@ -45,15 +57,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..build.treelets import F_FIELDS, L3_BASE, TreeletScene
+from ..build.treelets import (BLOCK_ROWS, L3_BASE, LEAF_FIELDS, NODE_ROWS,
+                              TreeletScene)
 from ..core.rayhit import Rays
 
 ROBUST_MIN = np.float32(1.0 - 3.0 * 2.0 ** -23)
 ROBUST_MAX = np.float32(1.0 + 3.0 * 2.0 ** -23)
 INF = np.float32(np.inf)
 NINF = np.float32(-np.inf)
-D_STACK = 12
-LEAF_BASE = 128
 MAX_MID_WORDS = 8          # mid-mask capacity: 256 mids
 BIG = np.int32(1 << 24)
 DONE_KEY = np.int32(1 << 30)
@@ -121,9 +132,19 @@ def _clear_bit(words, idx, mask):
     return out
 
 
+def _unpack_bounds(v):
+    """Split a packed-bf16 f32 lane into (lo, hi) f32 values: hi 16
+    bits = lo bound, lo 16 bits = hi bound (exact bf16->f32 widening)."""
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+    lo = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(bits, jnp.int32(-65536)), jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(bits, 16), jnp.float32)
+    return lo, hi
+
+
 def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
-                      in_cap: int, occluded: bool, cull: bool,
-                      dual: bool = False):
+                      in_cap: int, occluded: bool, cull: bool):
 
     def kernel(params, blocks, tre, mbox, *args):
         # inputs: 7 ray + t,prim,cur,seed + mid_words + fan_words
@@ -138,11 +159,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
         (t_o, prim_o, cur_o, seed_o, key_o) = outs[:5]
         mm_o = outs[5:5 + mid_words]
         fm_o = outs[5 + mid_words:]
-        if dual:
-            stage, stage2, midstage, sem1, sem1b, sem2 = scratch
-        else:
-            stage, midstage, sem1, sem2 = scratch
-            stage2 = None
+        stage, midstage, sem1, sem2 = scratch
 
         o_x, o_y, o_z = ox[:], oy[:], oz[:]
         d_x, d_y, d_z = dx[:], dy[:], dz[:]
@@ -155,40 +172,38 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
         tnear = tn[:]
         zero_i = jnp.zeros_like(t_in[:], jnp.int32)
 
-        def fetch_node(cur, in_b):
-            """Chunk-0 gather: 24 node-bound fields for inner slot cur.
-            Dual mode: lanes walking the row's SECOND staged treelet
-            (in_b) gather from stage2 instead."""
+        def fetch_node(cur):
+            """Node fetch for inner slot cur: 12 packed-row gathers ->
+            24 unpacked bound fields (lo then hi, each [axis*4+child])."""
             lane = jnp.bitwise_and(jnp.maximum(cur, 0), 127)
-            out = []
-            for f in range(24):
-                v = jnp.take_along_axis(stage[:, 2 * f, :], lane, axis=1)
-                if dual:
-                    v2 = jnp.take_along_axis(stage2[:, 2 * f, :], lane,
-                                             axis=1)
-                    v = jnp.where(in_b, v2, v)
-                out.append(v)
-            return out
+            los, his = [], []
+            for f in range(NODE_ROWS):
+                v = jnp.take_along_axis(stage[:, f, :], lane, axis=1)
+                lo, hi = _unpack_bounds(v)
+                los.append(lo)
+                his.append(hi)
+            return los + his
 
-        def walk(part, in_b, t, prim):
-            """Two-phase treelet walk (v4). Phase 1 walks the implicit
-            inner BVH4 with a 3-word NODE BITMASK (85 inner slots):
-            each step FFS-picks the next pending inner node, gathers
-            its 24 chunk-0 bound fields, slabs the 4 children, and ORs
-            hit children back into the mask (4 consecutive bits — one
-            shifted nibble) or, for L3 nodes, into the 128-bit leaf-pair
-            mask. No per-lane stack: pop = FFS+clear (~30 vops vs ~100
-            select ops for the 12-deep stack), and visit order is slot
-            (BFS) order — order is irrelevant here because leaf tests
-            are deferred, so no t tightens during the node phase anyway.
-            Phase 2 FFS-drains the pair mask with chunk-1 gathers ONLY
-            (20/step — Ng is recomputed in-kernel from e1/e2).
+        def walk(part, t, prim):
+            """Two-phase treelet walk. Phase 1 walks the implicit inner
+            BVH4 with a 3-word NODE BITMASK (85 inner slots): each step
+            FFS-picks the next pending inner node, gathers its 12
+            packed bound rows, slabs the 4 children, and ORs hit
+            children back into the mask (4 consecutive bits — one
+            shifted nibble) or, for L3 nodes, into the 256-bit leaf-pair
+            mask (4 bits at 4*(cur-21)). No per-lane stack: pop =
+            FFS+clear, and visit order is slot (BFS) order — order is
+            irrelevant here because leaf tests are deferred, so no t
+            tightens during the node phase anyway. Phase 2 FFS-drains
+            the pair mask one 128-pair CHUNK at a time with that
+            chunk's 20 leaf rows (Ng recomputed in-kernel from e1/e2).
 
-            Iteration caps are provably unreachable: a lane visits each
-            of the 85 inner slots at most once (cap 96) and each of the
-            128 pairs at most once (cap 136), so the loops cannot
-            silently truncate (VERDICT r3 weak #5)."""
-            PM_WORDS = 4   # 128 leaf-pair bits
+            Iteration caps count ITERATIONS, each retiring 2 units: a
+            lane visits each of the 85 inner slots at most once (<=43
+            iterations, cap 48) and each of a chunk's 128 pairs at most
+            once (<=64 iterations, cap 68), so the loops cannot
+            silently truncate."""
+            PM_WORDS = 8   # 256 leaf-pair bits
             NM_WORDS = 3   # 85 inner-slot bits
 
             t0_c = t
@@ -222,13 +237,12 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                         add, jnp.where(node_mode & (wq + 1 == w),
                                        hi_bits, 0))
                     nm[w] = jnp.bitwise_or(nm[w], add)
-                # L3: 2 bits at pidx = 2*(cur-21) (even, so never
-                # straddles a word)
+                # L3: 4 bits at pidx = 4*(cur-21) (multiple of 4, so
+                # never straddles a word)
                 leaf_mode = alive & is_l3
-                pnib = jnp.bitwise_and(nib, 3)
-                pidx = 2 * (cur - L3_BASE)
+                pidx = 4 * (cur - L3_BASE)
                 pq = jax.lax.shift_right_logical(jnp.maximum(pidx, 0), 5)
-                pbits = jax.lax.shift_left(pnib, jnp.bitwise_and(pidx, 31))
+                pbits = jax.lax.shift_left(nib, jnp.bitwise_and(pidx, 31))
                 for w in range(PM_WORDS):
                     pm[w] = jnp.bitwise_or(
                         pm[w], jnp.where(leaf_mode & (pq == w), pbits, 0))
@@ -246,7 +260,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                     have = nxt < BIG
                     nm = _clear_bit(nm, nxt, have)
                     cur = jnp.where(have, nxt, 0)
-                    vals = fetch_node(cur, in_b)
+                    vals = fetch_node(cur)
                     nm, pm = node_visit(vals, cur, have, nm, pm)
                 return tuple(nm + pm + [iters + 1])
 
@@ -254,99 +268,102 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 anyb = carry[0] != 0
                 for w in carry[1:NM_WORDS]:
                     anyb = anyb | (w != 0)
-                return jnp.any(anyb) & (carry[NM_WORDS + PM_WORDS] < 96)
+                return jnp.any(anyb) & (carry[NM_WORDS + PM_WORDS] < 48)
 
             # root step: every participating lane is at slot 0, so the
-            # 24 fields are STATIC row reads (no gather)
-            root_vals = []
-            for f in range(24):
-                v = jnp.broadcast_to(stage[:, 2 * f, 0:1], t.shape)
-                if dual:
-                    v = jnp.where(in_b,
-                                  jnp.broadcast_to(stage2[:, 2 * f, 0:1],
-                                                   t.shape), v)
-                root_vals.append(v)
+            # 12 packed fields are STATIC row reads (no gather)
+            root_los, root_his = [], []
+            for f in range(NODE_ROWS):
+                v = jnp.broadcast_to(stage[:, f, 0:1], t.shape)
+                lo, hi = _unpack_bounds(v)
+                root_los.append(lo)
+                root_his.append(hi)
             nm0 = [zero_i] * NM_WORDS
             pm0 = [zero_i] * PM_WORDS
-            nm0, pm0 = node_visit(root_vals, zero_i, part, nm0, pm0)
+            nm0, pm0 = node_visit(root_los + root_his, zero_i, part,
+                                  nm0, pm0)
             out = jax.lax.while_loop(
                 node_cond, node_step,
                 tuple(nm0 + pm0 + [jnp.int32(0)]))
             pm = list(out[NM_WORDS:NM_WORDS + PM_WORDS])
 
-            def leaf_step(carry):
-                t, prim, iters = carry[:3]
-                pm = list(carry[3:])
-                # drain TWO pairs (4 triangles) per step: halves the
-                # while-loop iteration count (per-iteration FFS/cond
-                # overhead) for the common multi-pair drains
-                for _u in range(2):
-                    p = _ffs_words(pm)
-                    have = p < BIG
-                    pm = _clear_bit(pm, p, have)
-                    lane = jnp.bitwise_and(jnp.maximum(p, 0), 127)
-                    vals = []
-                    for f in (0, 1, 2, 3, 4, 5, 6, 7, 8,
-                              12, 13, 14, 15, 16, 17, 18, 19, 20, 24, 25):
-                        v = jnp.take_along_axis(stage[:, 2 * f + 1, :],
-                                                lane, axis=1)
-                        if dual:
-                            v2 = jnp.take_along_axis(
-                                stage2[:, 2 * f + 1, :], lane, axis=1)
-                            v = jnp.where(in_b, v2, v)
-                        vals.append(v)
-                    for q, pofs in ((0, 0), (1, 9)):
-                        v0x, v0y, v0z = (vals[pofs], vals[pofs + 1],
-                                         vals[pofs + 2])
-                        e1x, e1y, e1z = (vals[pofs + 3], vals[pofs + 4],
-                                         vals[pofs + 5])
-                        e2x, e2y, e2z = (vals[pofs + 6], vals[pofs + 7],
-                                         vals[pofs + 8])
-                        # Ng = cross(e2, e1) recomputed (6 fewer gathers;
-                        # matches build/treelets.py ng = cross(e2a, e1a))
-                        ngx = e2y * e1z - e2z * e1y
-                        ngy = e2z * e1x - e2x * e1z
-                        ngz = e2x * e1y - e2y * e1x
-                        pid_i = jax.lax.bitcast_convert_type(
-                            vals[18 + q], jnp.int32)
-                        cx = v0x - o_x
-                        cy = v0y - o_y
-                        cz = v0z - o_z
-                        rx = cy * d_z - cz * d_y
-                        ry = cz * d_x - cx * d_z
-                        rz = cx * d_y - cy * d_x
-                        den = ngx * d_x + ngy * d_y + ngz * d_z
-                        absden = jnp.abs(den)
-                        sgn = jnp.where(den >= 0.0, 1.0, -1.0)
-                        u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
-                        v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
-                        t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
-                        front = (den < 0.0) if cull else (den != 0.0)
-                        ok = have & front & (u_s >= 0.0) & (v_s >= 0.0) \
-                            & (u_s + v_s <= absden) \
-                            & (absden * tnear < t_s) \
-                            & (t_s <= absden * t)
-                        if occluded:
-                            t = jnp.where(ok, NINF, t)
-                        else:
-                            t = jnp.where(
-                                ok, t_s / jnp.maximum(absden, 1e-37), t)
-                            prim = jnp.where(ok, pid_i, prim)
-                if occluded:
-                    # finished lanes drop their remaining pairs
-                    pm = [jnp.where(t == NINF, 0, w) for w in pm]
-                return tuple([t, prim, iters + 1] + pm)
+            def drain_chunk(chunk, t, prim, pmc):
+                """FFS-drain one 128-pair chunk (4 mask words) against
+                its 20 leaf rows; 2 pairs (4 triangles) per step."""
+                base = NODE_ROWS + chunk * LEAF_FIELDS
 
-            def leaf_cond(carry):
-                anyp = carry[3] != 0
-                for w in carry[4:]:
-                    anyp = anyp | (w != 0)
-                return jnp.any(anyp) & (carry[2] < 136)
+                def leaf_step(carry):
+                    t, prim, iters = carry[:3]
+                    pmc = list(carry[3:])
+                    for _u in range(2):
+                        p = _ffs_words(pmc)
+                        have = p < BIG
+                        pmc = _clear_bit(pmc, p, have)
+                        lane = jnp.bitwise_and(jnp.maximum(p, 0), 127)
+                        vals = []
+                        for f in range(LEAF_FIELDS):
+                            vals.append(jnp.take_along_axis(
+                                stage[:, base + f, :], lane, axis=1))
+                        for q, pofs in ((0, 0), (1, 9)):
+                            v0x, v0y, v0z = (vals[pofs], vals[pofs + 1],
+                                             vals[pofs + 2])
+                            e1x, e1y, e1z = (vals[pofs + 3],
+                                             vals[pofs + 4],
+                                             vals[pofs + 5])
+                            e2x, e2y, e2z = (vals[pofs + 6],
+                                             vals[pofs + 7],
+                                             vals[pofs + 8])
+                            # Ng = cross(e2, e1) recomputed (6 fewer
+                            # gathers; matches build/treelets.py)
+                            ngx = e2y * e1z - e2z * e1y
+                            ngy = e2z * e1x - e2x * e1z
+                            ngz = e2x * e1y - e2y * e1x
+                            pid_i = jax.lax.bitcast_convert_type(
+                                vals[18 + q], jnp.int32)
+                            cx = v0x - o_x
+                            cy = v0y - o_y
+                            cz = v0z - o_z
+                            rx = cy * d_z - cz * d_y
+                            ry = cz * d_x - cx * d_z
+                            rz = cx * d_y - cy * d_x
+                            den = ngx * d_x + ngy * d_y + ngz * d_z
+                            absden = jnp.abs(den)
+                            sgn = jnp.where(den >= 0.0, 1.0, -1.0)
+                            u_s = (rx * e2x + ry * e2y + rz * e2z) * sgn
+                            v_s = (rx * e1x + ry * e1y + rz * e1z) * sgn
+                            t_s = (ngx * cx + ngy * cy + ngz * cz) * sgn
+                            front = (den < 0.0) if cull else (den != 0.0)
+                            ok = have & front & (u_s >= 0.0) \
+                                & (v_s >= 0.0) & (u_s + v_s <= absden) \
+                                & (absden * tnear < t_s) \
+                                & (t_s <= absden * t)
+                            if occluded:
+                                t = jnp.where(ok, NINF, t)
+                            else:
+                                t = jnp.where(
+                                    ok, t_s / jnp.maximum(absden, 1e-37),
+                                    t)
+                                prim = jnp.where(ok, pid_i, prim)
+                    if occluded:
+                        # finished lanes drop their remaining pairs
+                        pmc = [jnp.where(t == NINF, 0, w) for w in pmc]
+                    return tuple([t, prim, iters + 1] + pmc)
 
-            outl = jax.lax.while_loop(
-                leaf_cond, leaf_step,
-                tuple([t, prim, jnp.int32(0)] + pm))
-            return outl[0], outl[1]
+                def leaf_cond(carry):
+                    anyp = carry[3] != 0
+                    for w in carry[4:]:
+                        anyp = anyp | (w != 0)
+                    return jnp.any(anyp) & (carry[2] < 68)
+
+                outl = jax.lax.while_loop(
+                    leaf_cond, leaf_step,
+                    tuple([t, prim, jnp.int32(0)] + pmc))
+                return outl[0], outl[1]
+
+            # chunk masks are chunk-local 128-bit (words 0..3 / 4..7)
+            t, prim = drain_chunk(0, t, prim, pm[:4])
+            t, prim = drain_chunk(1, t, prim, pm[4:])
+            return t, prim
 
         def fan_pass(t):
             """Slab the staged fan-box row against the lane's CURRENT t
@@ -373,7 +390,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             # candidate mid's box is slab-tested against the lane's
             # CURRENT t first (mid boxes live in VMEM — 12 gathers):
             # mids behind an existing hit are cleared without paying
-            # their fan-row DMA + 40-box fan pass. Mids are visited in
+            # their fan-row DMA + fan-box fan pass. Mids are visited in
             # id order, so without this, a ray that hit early would
             # still fan-pass every remaining candidate mid (BASELINE
             # measured 5.09 mid entries but 1.6 treelet walks per hit
@@ -451,12 +468,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             fm = list(fm)
             seed = jnp.where(need_seed, 1, seed)
 
-            # 4: per-row consensus treelet; stage (overlapped) + walk.
-            # Dual mode also stages the row's SECOND-lowest candidate
-            # treelet (same consensus mid — groups sharing a row are
-            # same-mid adjacent-treelet after the (mid,cand) key sort):
-            # lanes of group B walk stage2 in the same kernel walk, so
-            # one turn retires up to 16 (mid,treelet) units instead of 8
+            # 4: per-row consensus treelet; stage (overlapped) + walk
             cand = _ffs_words(fm)
             has_cand = served & (cand < BIG)
             candv = jnp.where(has_cand, cand, BIG)
@@ -470,40 +482,16 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             row_tid = jnp.concatenate(
                 [jnp.full((1, 128), rt, jnp.int32) for rt in row_tids],
                 axis=0)
-            part_a = has_cand & (cand == row_tid)
-            if dual:
-                cand2v = jnp.where(has_cand & (cand != row_tid), cand,
-                                   BIG)
-                row_tids2 = [jnp.min(cand2v[r:r + 1, :]) for r in range(8)]
-                for r in range(8):
-                    @pl.when(row_tids2[r] < BIG)
-                    def _(rm=row_mids[r], rt=row_tids2[r], r=r):
-                        pltpu.make_async_copy(
-                            blocks.at[rm * fan + rt], stage2.at[r],
-                            sem1b.at[r]).start()
-                row_tid2 = jnp.concatenate(
-                    [jnp.full((1, 128), rt, jnp.int32)
-                     for rt in row_tids2], axis=0)
-                in_b = has_cand & (cand == row_tid2)
-            else:
-                in_b = jnp.zeros_like(part_a)
+            part = has_cand & (cand == row_tid)
             for r in range(8):
                 @pl.when(row_tids[r] < BIG)
                 def _(rm=row_mids[r], rt=row_tids[r], r=r):
                     pltpu.make_async_copy(
                         blocks.at[rm * fan + rt], stage.at[r],
                         sem1.at[r]).wait()
-            if dual:
-                for r in range(8):
-                    @pl.when(row_tids2[r] < BIG)
-                    def _(rm=row_mids[r], rt=row_tids2[r], r=r):
-                        pltpu.make_async_copy(
-                            blocks.at[rm * fan + rt], stage2.at[r],
-                            sem1b.at[r]).wait()
-            part = part_a | in_b
             fm = _clear_bit(fm, cand, part)
             # no participants -> the walk's while cond is false on entry
-            t, prim = walk(part, in_b, t, prim)
+            t, prim = walk(part, t, prim)
             if occluded:
                 cur = jnp.where(t == NINF, _DONE, cur)
 
@@ -545,11 +533,11 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
 @functools.partial(jax.jit,
                    static_argnames=("fan", "mid_words", "fan_words",
                                     "ntiles", "in_cap", "occluded", "cull",
-                                    "interpret", "dual"))
+                                    "interpret"))
 def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
                    mid_words: int, fan_words: int, ntiles: int,
                    in_cap: int, occluded: bool, cull: bool,
-                   interpret: bool, dual: bool = False):
+                   interpret: bool):
     params = jnp.zeros((1,), jnp.int32)
     tile = (8, 128)
     ray_spec = pl.BlockSpec(tile, lambda i, *_: (i, 0),
@@ -567,13 +555,10 @@ def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
         + [ray_spec] * n_in,
         out_specs=tuple([ray_spec] * n_out),
         scratch_shapes=(
-            [pltpu.VMEM((8, 2 * F_FIELDS, 128), jnp.float32)]
-            + ([pltpu.VMEM((8, 2 * F_FIELDS, 128), jnp.float32)]
-               if dual else [])
-            + [pltpu.VMEM((8, 6, 128), jnp.float32),
-               pltpu.SemaphoreType.DMA((8,))]
-            + ([pltpu.SemaphoreType.DMA((8,))] if dual else [])
-            + [pltpu.SemaphoreType.DMA((8,))]),
+            [pltpu.VMEM((8, BLOCK_ROWS, 128), jnp.float32),
+             pltpu.VMEM((8, 6, 128), jnp.float32),
+             pltpu.SemaphoreType.DMA((8,)),
+             pltpu.SemaphoreType.DMA((8,))]),
     )
     dts = ([jnp.float32, jnp.int32, jnp.int32, jnp.int32, jnp.int32]
            + [jnp.int32] * (mid_words + fan_words))
@@ -581,7 +566,7 @@ def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
                       for dt in dts)
     return pl.pallas_call(
         _rowtrace2_kernel(fan, mid_words, fan_words, in_cap, occluded,
-                          cull, dual),
+                          cull),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -711,10 +696,6 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
     def round_at(size):
         ntiles = size // 1024
         in_cap = _in_cap_for(size, Rp)
-        # dual-treelet service only while rows are dense (large buckets):
-        # straggler rounds rarely have two same-mid groups in one row, so
-        # the doubled walk gathers would be pure overhead there
-        dual = size * 4 >= Rp
 
         def branch(st):
             def t2(i):
@@ -724,7 +705,7 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
                                     for w in range(mid_words + fan_words))
             outs = _run_rowtrace2(blocks, tre_boxes, mbox, tiles, fan,
                                   mid_words, fan_words, ntiles, in_cap,
-                                  occluded, cull, interpret, dual)
+                                  occluded, cull, interpret)
             st = list(st)
 
             def fl(a):

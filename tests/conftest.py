@@ -27,6 +27,23 @@ def rng():
     return np.random.default_rng(0x5EED)
 
 
+# Quick tier (VERDICT r4 #10): a <5-min correctness smoke covering every
+# layer — API, builders, both traversal families, cBVH, subdiv, diff,
+# dist — selected per-module. The full matrix stays for CI.
+_QUICK_MODULES = {
+    "test_api", "test_build", "test_intersect", "test_pluecker",
+    "test_cbvh", "test_node_flavors", "test_subdiv", "test_diff",
+    "test_filter", "test_mask_cull", "test_stats", "test_rtcore",
+    "test_triangle_geometry", "test_user_builder", "test_rotate",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """The full suite segfaults deterministically in XLA:CPU when one

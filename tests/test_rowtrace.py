@@ -1,15 +1,17 @@
-"""Per-lane treelet traversal (traverse/rowtrace.py) vs XLA reference.
+"""Per-lane treelet traversal (traverse/rowtrace2.py) vs XLA reference.
 
 Validates the exact kernel logic (interpret mode on CPU) that ships to
-hardware as the incoherent-ray fast path, including the iterative-
-deepening round loop, cursor semantics (lex (entry, id) restarts), and
-the implicit-BVH4 treelet encoding (build/treelets.py)."""
+hardware as the incoherent-ray fast path: the bitmask-chain consensus
+schedule, the packed-bf16 implicit-BVH4 treelet encoding
+(build/treelets.py), and the two-chunk leaf drains."""
 import numpy as np
 import pytest
 
 import embree_tpu as et
-from embree_tpu.build.treelets import P_CAP, build_treelet_scene
-from embree_tpu.traverse.rowtrace import intersect_rowtrace
+from embree_tpu.build.treelets import (BLOCK_ROWS, LEAF_FIELDS, NODE_ROWS,
+                                       P_CAP, build_treelet_scene,
+                                       pack_bf16_bounds)
+from embree_tpu.traverse.rowtrace2 import intersect_rowtrace2
 from embree_tpu.verify.fixtures import random_triangles, triangle_sphere
 
 
@@ -29,10 +31,31 @@ def _treelets(verts, idx, fan=8):
     return ts.to_device()
 
 
+def test_pack_bf16_bounds_conservative(rng):
+    """Directed rounding: packed lo <= lo and packed hi >= hi for any
+    sign/magnitude mix, and inverted pad boxes stay inverted."""
+    lo = np.concatenate([
+        rng.normal(size=1000).astype(np.float32) * 100,
+        np.array([0.0, -0.0, 1e-30, -1e-30, np.inf], np.float32)])
+    hi = lo + np.abs(rng.normal(size=lo.shape).astype(np.float32))
+    hi[-1] = -np.inf   # pad box: lo=+inf hi=-inf
+    packed = pack_bf16_bounds(lo, hi)
+    bits = packed.view(np.uint32)
+    lo_q = (bits & 0xFFFF0000).view(np.float32)
+    hi_q = (bits << 16).view(np.float32)
+    assert (lo_q[:-1] <= lo[:-1]).all()
+    assert (hi_q[:-1] >= hi[:-1]).all()
+    # quantization error bounded by one bf16 ulp (relative ~2^-8)
+    m = np.isfinite(lo[:-1]) & (np.abs(lo[:-1]) > 1e-20)
+    assert (np.abs(lo_q[:-1][m] - lo[:-1][m])
+            <= np.abs(lo[:-1][m]) * 2.0 ** -7 + 1e-30).all()
+    assert lo_q[-1] == np.inf and hi_q[-1] == -np.inf
+
+
 @pytest.mark.parametrize("ntri,nray,fan", [
     (40, 200, 4),          # single treelet
     (700, 300, 4),         # several treelets, one+ mids
-    (1500, 500, 8),        # multiple mids
+    (2500, 500, 8),        # multiple mids, chunk-1 pairs exercised
 ])
 def test_rowtrace_matches_xla(rng, ntri, nray, fan):
     verts, idx = random_triangles(rng, ntri, extent=5.0, size=1.2)
@@ -44,7 +67,7 @@ def test_rowtrace_matches_xla(rng, ntri, nray, fan):
     ref = _ref_hits(verts, idx, rays)
     ts = _treelets(verts, idx, fan=fan)
     assert ts.num_treelets >= 1
-    t, prim = intersect_rowtrace(ts, rays, interpret=True)
+    t, prim = intersect_rowtrace2(ts, rays, interpret=True)
 
     valid = np.asarray(prim) >= 0
     np.testing.assert_array_equal(valid, np.asarray(ref.valid))
@@ -70,7 +93,7 @@ def test_rowtrace_sphere_inside_origins(rng):
 
     ref = _ref_hits(verts, idx, rays)
     ts = _treelets(verts, idx, fan=4)
-    t, prim = intersect_rowtrace(ts, rays, interpret=True)
+    t, prim = intersect_rowtrace2(ts, rays, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(prim) >= 0,
                                   np.asarray(ref.valid))
@@ -93,7 +116,7 @@ def test_rowtrace_occluded(rng):
     ref = et.scene_occluded(cs, rays, isa="xla")
 
     ts = _treelets(verts, idx, fan=4)
-    t, _ = intersect_rowtrace(ts, rays, occluded=True, interpret=True)
+    t, _ = intersect_rowtrace2(ts, rays, occluded=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(t) == -np.inf, np.asarray(ref))
 
 
@@ -103,13 +126,15 @@ def test_treelet_build_shapes(rng):
     i = np.asarray(idx)
     ts = build_treelet_scene(v[i[:, 0]], v[i[:, 1]], v[i[:, 2]],
                              np.arange(len(i)), fan=8)
-    assert ts.blocks.shape[1:] == (52, 128)
+    assert ts.blocks.shape[1:] == (BLOCK_ROWS, 128)
     assert ts.num_treelets == ts.num_mids * 8
     assert ts.num_treelets * P_CAP >= 1000
     # every real prim id appears exactly once in the leaf pid planes
     # (stored as int32 bit patterns inside the f32 block)
-    pids = np.concatenate([ts.blocks[:, 49, :].ravel(),
-                           ts.blocks[:, 51, :].ravel()]).view(np.int32)
+    pid_rows = [NODE_ROWS + ck * LEAF_FIELDS + f
+                for ck in (0, 1) for f in (18, 19)]
+    pids = np.concatenate(
+        [ts.blocks[:, r, :].ravel() for r in pid_rows]).view(np.int32)
     pids = pids[pids >= 0].astype(np.int64)
     assert len(pids) == 1000
     assert len(np.unique(pids)) == 1000
@@ -145,7 +170,7 @@ def test_rowtrace_jit_and_grad(rng):
                                 v2=vertices[i[:, 2]])
         flat = Rays(r.org.reshape(-1, 3), r.dir.reshape(-1, 3),
                     r.tnear.reshape(-1), r.tfar.reshape(-1))
-        t, prim = intersect_rowtrace(ts, flat, interpret=True)
+        t, prim = intersect_rowtrace2(ts, flat, interpret=True)
         h = reeval_hit(tris, flat, jnp.maximum(prim, 0), prim >= 0)
         return jnp.sum(jnp.where(prim >= 0, h.t, 0.0)), prim
 
@@ -163,22 +188,22 @@ def test_rowtrace_jit_and_grad(rng):
 def test_rowtrace2_adversarial_no_truncation(rng):
     """VERDICT r4 #9: a cap-busting scene must complete with correct
     hits — no silent truncation. The kernel's in-loop caps are provably
-    unreachable by construction (each lane visits <= 85 inner slots and
-    <= 128 pairs per treelet; mid/fan masks drain monotonically); this
-    test drives the worst remaining axis — every ray forced through
-    MANY (mid, treelet) serve units with tiny consensus groups — and
-    gates on exact agreement with the XLA reference."""
+    unreachable by construction (per treelet, each lane visits <= 85
+    inner slots and <= 128 pairs per chunk, 2 retired per iteration,
+    under caps of 48/68 iterations; mid/fan masks drain monotonically);
+    this test drives the worst remaining axis — every ray forced
+    through MANY (mid, treelet) serve units with tiny consensus groups
+    — and gates on exact agreement with the XLA reference."""
     import jax.numpy as jnp
     from embree_tpu.core.rayhit import Rays
-    from embree_tpu.traverse.rowtrace2 import intersect_rowtrace2
 
     # dense shell of overlapping triangles around the origin: rays from
     # outside through the center intersect candidate boxes of nearly
     # every treelet; fan=2 maximizes the mid count (many small groups)
-    ntri = 1600
+    ntri = 3000
     verts, idx = random_triangles(rng, ntri, extent=1.5, size=0.9)
     ts = _treelets(verts, idx, fan=2)
-    assert ts.num_mids >= 4
+    assert ts.num_mids >= 3
 
     nray = 512
     # all rays converge on the center from random directions: every

@@ -71,12 +71,17 @@ def main():
         c2 = c._replace(tris=tris)
         sel = jax.lax.stop_gradient(scene_intersect(c, r))
         h = reeval_hit(c2.tris, r, sel.gprim, sel.valid)
-        return jnp.sum(jnp.where(h.valid, h.t, 0.0))
+        return jnp.sum(jnp.where(h.valid,
+                                 h.t + 0.25 * h.u + 0.125 * h.v, 0.0))
 
     def loss_new(vertices, c, r):
         sel = jax.lax.stop_gradient(scene_intersect(c, r))
-        t, _u, _v = reeval_hit_verts(vertices, idxd, r, sel.gprim, sel.valid)
-        return jnp.sum(jnp.where(sel.valid, t, 0.0))
+        t, u, v = reeval_hit_verts(vertices, idxd, r, sel.gprim, sel.valid)
+        # fold u/v into the loss so the equivalence check covers the
+        # FULL (t, u, v) training surface, not just the t-gradient
+        # (ADVICE r4: reeval_hit_verts skips the uv_flip correction —
+        # valid only because this is a single unflipped triangle mesh)
+        return jnp.sum(jnp.where(sel.valid, t + 0.25 * u + 0.125 * v, 0.0))
 
     f_old = jax.jit(jax.value_and_grad(loss_old))
     f_new = jax.jit(jax.value_and_grad(loss_new))

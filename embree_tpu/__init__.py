@@ -20,8 +20,10 @@ Quick start::
 from .core.config import State
 from .core.device import Device, Error, RaytracerError
 from .core.rayhit import Hits, INVALID_ID, Rays, make_rays, miss_hits
-from .scene.curves import BezierCurves, BSplineCurves, LineSegments
-from .scene.geometry import (Geometry, Instance, QuadMesh, SubdivMesh,
+from .scene.curves import (BezierCurves, BezierCurvesMB,
+                           BSplineCurves, LineSegments)
+from .scene.geometry import (Geometry, Instance, QuadMesh, QuadMeshMB,
+                             SubdivMesh,
                              SubdivMeshMB, TriangleMesh, TriangleMeshMB,
                              UserGeometry)
 from .scene.scene import (BuildQuality, CommittedScene, Scene, scene_intersect,
@@ -34,7 +36,7 @@ __all__ = [
     "Rays", "Hits", "make_rays", "miss_hits", "INVALID_ID",
     "Geometry", "TriangleMesh", "QuadMesh", "SubdivMesh", "Instance",
     "UserGeometry", "LineSegments", "BezierCurves", "BSplineCurves",
-    "TriangleMeshMB", "SubdivMeshMB",
+    "TriangleMeshMB", "SubdivMeshMB", "QuadMeshMB", "BezierCurvesMB",
     "Scene", "BuildQuality", "CommittedScene",
     "scene_intersect", "scene_occluded",
 ]

@@ -17,20 +17,8 @@ from .materials import MAT_OBJ
 
 
 def _load_image(path: str):
-    from .image import read_pfm, read_ppm
-    ext = os.path.splitext(path)[1].lower()
-    try:
-        if ext == ".ppm":
-            return read_ppm(path).astype(np.float32) / 255.0
-        if ext == ".pfm":
-            return read_pfm(path)
-        import matplotlib.image as mpimg
-        img = mpimg.imread(path)
-        if img.dtype == np.uint8:
-            img = img.astype(np.float32) / 255.0
-        return img[..., :3]
-    except Exception:
-        return None
+    from .image import load_image
+    return load_image(path)
 
 
 def load_mtl(path: str) -> dict:
@@ -53,6 +41,17 @@ def load_mtl(path: str) -> dict:
                 img = _load_image(os.path.join(base, tok[-1]))
                 if img is not None:
                     mats[cur]["map_kd"] = img
+            elif tok[0] in ("map_d", "d_map"):
+                # opacity texture (obj_loader.cpp:409-411)
+                img = _load_image(os.path.join(base, tok[-1]))
+                if img is not None:
+                    mats[cur]["map_d"] = img
+            elif tok[0] in ("map_Displ", "Displ_map", "bumpMap", "map_bump",
+                            "disp"):
+                # displacement texture (obj_loader.cpp:423-425,450)
+                img = _load_image(os.path.join(base, tok[-1]))
+                if img is not None:
+                    mats[cur]["map_displ"] = img
             elif tok[0] == "Kd":
                 mats[cur]["kd"] = tuple(map(float, tok[1:4]))
             elif tok[0] == "Ks":

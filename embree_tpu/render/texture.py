@@ -68,3 +68,33 @@ def sample_texture(ts: TextureSet, tex_id, u, v, bilinear: bool = True):
     c11 = texel(x0 + 1, y0 + 1)
     return (c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy)
             + c01 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def sample_bilinear(tex, u, v):
+    """Differentiable bilinear sample of ONE (H, W) or (H, W, C) jnp
+    texture at (u, v) in [0,1] (repeat wrap, v=0 at the bottom row —
+    texture2d semantics). Gradients flow to `tex`, so a displacement
+    TEXTURE can be a trainable parameter (the map_Displ analog,
+    obj_loader.cpp:423-425, through the differentiable commit path)."""
+    tex = jnp.asarray(tex)
+    chan = tex.ndim == 3
+    h, w = tex.shape[0], tex.shape[1]
+    uu = (u % 1.0) * w - 0.5
+    vv = ((1.0 - (v % 1.0)) % 1.0) * h - 0.5
+    i0 = jnp.floor(vv).astype(jnp.int32)
+    j0 = jnp.floor(uu).astype(jnp.int32)
+    fi = vv - i0
+    fj = uu - j0
+    i0m = i0 % h
+    i1m = (i0 + 1) % h
+    j0m = j0 % w
+    j1m = (j0 + 1) % w
+    a00 = tex[i0m, j0m]
+    a01 = tex[i0m, j1m]
+    a10 = tex[i1m, j0m]
+    a11 = tex[i1m, j1m]
+    if chan:
+        fi = fi[..., None]
+        fj = fj[..., None]
+    return (a00 * (1 - fi) * (1 - fj) + a01 * (1 - fi) * fj
+            + a10 * fi * (1 - fj) + a11 * fi * fj)

@@ -32,7 +32,7 @@ from ...scene.scene import Scene, scene_intersect, scene_occluded
 from ..camera import Camera, pixel_coords
 from ..lights import LIGHT_QUAD, LightTable, make_light_table, sample_light
 from ..materials import (MAT_MATTE, MAT_MIRROR, MaterialTable, eval_brdf,
-                         make_material_table, sample_bsdf)
+                         make_material_table, sample_bsdf_medium)
 from ..tutorial_app import TutorialApplication
 
 MAX_PATH_LENGTH = 8
@@ -127,6 +127,10 @@ def render_pt(cscene, materials: MaterialTable, lights: LightTable,
         Lw = jnp.ones(shape + (3,))
         active = jnp.ones(shape, bool)
         ro, rd = org, d
+        # per-ray Medium (pathtracer_device.cpp:57-81): starts vacuum;
+        # DIELECTRIC_SOLID refraction events push/pop it
+        med_eta = jnp.ones(shape, jnp.float32)
+        med_trans = jnp.ones(shape + (3,), jnp.float32)
 
         for bounce in range(max_path):
             kb = jax.random.fold_in(kpath, bounce)
@@ -174,10 +178,18 @@ def render_pt(cscene, materials: MaterialTable, lights: LightTable,
                 vis = active & ~occ & (cos_s > 0)
                 L = L + jnp.where(vis[..., None], Lw * f * le_w, 0.0)
 
-            # sample continuation (:1459-1536)
+            # simple volumetric effect (:1503-1506): the medium the
+            # segment just crossed attenuates the continuation weight
+            # (folded into c exactly as the reference does)
+            seg_att = med_trans ** t_safe[..., None]
+            # sample continuation (:1459-1536) with Medium tracking
             ks = jax.random.fold_in(kb, 7)
-            wi, w, _delta = sample_bsdf(materials, mid, wo, ng, ks)
-            Lw = Lw * jnp.where(active[..., None], w, 1.0)
+            wi, w, _delta, med_eta2, med_trans2 = sample_bsdf_medium(
+                materials, mid, wo, ng, ks, med_eta, med_trans)
+            med_eta = jnp.where(active, med_eta2, med_eta)
+            med_trans = jnp.where(active[..., None], med_trans2,
+                                  med_trans)
+            Lw = Lw * jnp.where(active[..., None], w * seg_att, 1.0)
             ro = p_hit + 1e-4 * wi
             rd = wi
             active = active & (jnp.max(Lw, -1) >= 0.01)  # cutoff (:1459)

@@ -115,6 +115,8 @@ def _trace(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
     kd = jnp.where((tid >= 0)[..., None], kd * tex, kd)
     out = (kd, valid, d, hits.geom_id, hits.prim_id, hits.u, hits.v, hits.ng)
     if inv is not None:
+        # legacy per-array unsort (8 1M-row gathers); the frame path now
+        # shades in morton order and unsorts ONE rgb image at the end
         out = tuple(a[inv] for a in out)
     return out
 
@@ -126,18 +128,21 @@ def render(cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
     fast path used by viewer_anim's per-frame loop."""
     kd, valid, d, _gid, _prim, _u, _v, ng = _trace(
         cscene, materials, geom_mat, textures, kd_tex, tri_uv, prim_base,
-        cam_vx, cam_vy, cam_vz, cam_p, perm, inv, width=width, height=height)
-    return _shade(kd, valid, d, ng, width, height)
+        cam_vx, cam_vy, cam_vz, cam_p, perm, None,
+        width=width, height=height)
+    img = _shade(kd, valid, d, ng)
+    if perm is not None and inv is not None:
+        img = img[inv]
+    return img.reshape(height, width, 3)
 
 
-def _shade(kd, valid, d, ns, width, height):
+def _shade(kd, valid, d, ns):
     """color = Kd * dot(-dir, face_forward(normalize(Ns))) —
-    viewer_device.cpp:241-244,304."""
+    viewer_device.cpp:241-244,304. Returns flat (R, 3)."""
     ns = normalize(ns)
     ns = jnp.where(dot(d, ns)[..., None] < 0, ns, -ns)
     shade = jnp.clip(dot(-d, ns), 0.0, 1.0)
-    out = jnp.where(valid[..., None], kd * shade[..., None], 0.0)
-    return out.reshape(height, width, 3)
+    return jnp.where(valid[..., None], kd * shade[..., None], 0.0)
 
 
 def render_frame(state, camera: Camera, size, smooth_normals: bool = True):
@@ -145,7 +150,13 @@ def render_frame(state, camera: Camera, size, smooth_normals: bool = True):
     the fork (viewer_device.cpp:132) — Ns = cross(dPdv, dPdu) from
     rtcInterpolate at every hit (:284-295), which for subdiv geometry is
     the analytic limit-surface normal (essential for compressed leaves,
-    whose raw Ng is the dummy (1,0,0))."""
+    whose raw Ng is the dummy (1,0,0)).
+
+    The whole frame runs in MORTON RAY ORDER; only the final rgb image
+    is unsorted (one (R,3) gather instead of eight 1M-row per-hit-field
+    gathers — the unsort was ~15% of the bomberman frame). Smooth
+    normals ride the fused normal table (Scene.interpolate_normal:
+    4 corner gathers, down from interpolate()'s 16)."""
     from ..camera import pixel_morton_order_device
     from ...scene.geometry import SubdivMesh
     w, h = size
@@ -154,22 +165,17 @@ def render_frame(state, camera: Camera, size, smooth_normals: bool = True):
     kd, valid, d, gid, prim, u, v, ng = _trace(
         state["cscene"], state["materials"], state["geom_mat"],
         state["textures"], state["kd_tex"], state["tri_uv"],
-        state["prim_base"], vx, vy, vz, p, perm, inv, width=w, height=h)
+        state["prim_base"], vx, vy, vz, p, perm, None, width=w, height=h)
     scene = state.get("scene")
     if smooth_normals and scene is not None:
-        # smooth limit normals via the per-patch evaluation GRIDS
-        # (interpolate_subdiv — the tessellated limit surface the accel
-        # itself was built from), sampled fully on-device for every hit
-        # lane at once. r3 called the ANALYTIC derivative path
-        # (PatchTable ladders) through a host round-trip per frame —
-        # measured as the bomberman frame's dominant cost.
         for g_id, g in scene.geometries.items():
             if not isinstance(g, SubdivMesh):
                 continue    # triangle dPdu/dPdv cross == +-Ng already
             m = valid & (gid == g_id)
-            _P, nrm = scene.interpolate(g_id, jnp.maximum(prim, 0), u, v)
+            nrm = scene.interpolate_normal(g_id, jnp.maximum(prim, 0),
+                                           u, v)
             ng = jnp.where(m[..., None], nrm, ng)
-    img = _shade(kd, valid, d, ng, w, h)
+    img = _shade(kd, valid, d, ng)[inv].reshape(h, w, 3)
     return img, w * h
 
 

@@ -24,9 +24,10 @@ import xml.etree.ElementTree as ET
 import numpy as np
 
 from ..scene.geometry import QuadMesh, SubdivMesh, TriangleMesh
-from .materials import (MAT_DIELECTRIC, MAT_EMITTER, MAT_MATTE, MAT_METAL,
-                        MAT_METALLIC_PAINT, MAT_MIRROR, MAT_OBJ,
-                        MAT_REFLECTIVE_METAL, MAT_VELVET)
+from .materials import (MAT_DIELECTRIC, MAT_DIELECTRIC_SOLID, MAT_EMITTER,
+                        MAT_HAIR, MAT_MATTE, MAT_METAL, MAT_METALLIC_PAINT,
+                        MAT_MIRROR, MAT_OBJ, MAT_REFLECTIVE_METAL,
+                        MAT_VELVET)
 
 
 def _floats(e) -> np.ndarray:
@@ -80,6 +81,11 @@ def load_affine(e) -> np.ndarray:
         m[:, :3] = _rot(np.asarray([0., 1, 0]), float(e.get("rotate_y")))
     elif e.get("rotate_z"):
         m[:, :3] = _rot(np.asarray([0., 0, 1]), float(e.get("rotate_z")))
+    elif e.text and len((e.text or "").split()) == 12:
+        # full row-major 3x4 body (xml_loader.cpp:399-404)
+        b = np.asarray([float(x) for x in e.text.split()],
+                       np.float32).reshape(3, 4)
+        m[:, :] = b
     elif e.get("rotate"):
         # "axis_x axis_y axis_z degrees" is not in the grammar; the
         # reference uses rotate around axis via separate parms — fall
@@ -109,10 +115,12 @@ def _compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 _MAT_CODES = {"Matte": MAT_MATTE, "Mirror": MAT_MIRROR, "OBJ": MAT_OBJ,
-              "OBJMaterial": MAT_OBJ, "Dielectric": MAT_DIELECTRIC,
+              "OBJMaterial": MAT_OBJ,
+              "Dielectric": MAT_DIELECTRIC_SOLID,
               "ThinDielectric": MAT_DIELECTRIC, "ThinGlass": MAT_DIELECTRIC,
               "Metal": MAT_METAL, "ReflectiveMetal": MAT_REFLECTIVE_METAL,
-              "Velvet": MAT_VELVET, "MetallicPaint": MAT_METALLIC_PAINT}
+              "Velvet": MAT_VELVET, "MetallicPaint": MAT_METALLIC_PAINT,
+              "Hair": MAT_HAIR}
 
 
 class XMLScene:
@@ -171,6 +179,21 @@ class _Loader:
             # xml_loader.cpp:838-845)
             m["ks"] = parms["reflectance"]
             m.pop("kd", None)
+        if mtype == MAT_DIELECTRIC_SOLID:
+            # DielectricMaterial params (xml_loader.cpp:855-861):
+            # interior/exterior ior + transmission, Medium-tracked
+            m["eta"] = parms.get("etaInside", 1.4)
+            m["eta_outside"] = parms.get("etaOutside", 1.0)
+            m["transmission"] = parms.get("transmission", (1.0, 1.0, 1.0))
+            m["transmission_outside"] = parms.get(
+                "transmissionOutside", (1.0, 1.0, 1.0))
+        if mtype == MAT_HAIR:
+            # HairMaterial (xml_loader.cpp:871-877): AnisotropicBlinn
+            # Kr/Kt lobes with (nx, ny) exponents
+            m["ks"] = parms.get("Kr", (1.0, 1.0, 1.0))
+            m["kd"] = parms.get("Kt", (0.0, 0.0, 0.0))
+            m["ns"] = parms.get("nx", 20.0)
+            m["roughness"] = parms.get("ny", 2.0)
         if mtype == MAT_VELVET:
             # VelvetMaterial params (xml_loader.cpp:849-852):
             # Minneart(reflectance, backScattering) +
@@ -278,6 +301,31 @@ class _Loader:
             self.id_node[e.get("id")] = e
 
 
+def light_table_from_xml(scene: XMLScene):
+    """XMLScene light dicts -> render/lights.LightTable (the
+    ISPCScene::convertLight analog, scene_device.cpp:75-125)."""
+    from .lights import (LIGHT_DIRECTIONAL, LIGHT_POINT, LIGHT_QUAD,
+                         make_light_table)
+    ambient = (0.0, 0.0, 0.0)
+    out = []
+    for l in scene.lights:
+        if l["type"] == "ambient":
+            ambient = l["radiance"]
+        elif l["type"] == "point":
+            out.append({"type": LIGHT_POINT, "pos": l["position"],
+                        "radiance": l["intensity"]})
+        elif l["type"] == "directional":
+            out.append({"type": LIGHT_DIRECTIONAL, "dir": l["direction"],
+                        "radiance": l["radiance"]})
+        elif l["type"] == "quad":
+            c = [np.asarray(x, np.float32) for x in l["corners"]]
+            out.append({"type": LIGHT_QUAD, "pos": tuple(c[0].tolist()),
+                        "e1": tuple((c[1] - c[0]).tolist()),
+                        "e2": tuple((c[3] - c[0]).tolist()),
+                        "radiance": l["radiance"]})
+    return make_light_table(out, ambient=ambient)
+
+
 def load_xml(path: str) -> XMLScene:
     root = ET.parse(path).getroot()
     ld = _Loader(path)
@@ -296,9 +344,11 @@ def _fmt(a: np.ndarray) -> str:
 
 
 _MAT_NAMES = {MAT_MATTE: "Matte", MAT_MIRROR: "Mirror", MAT_OBJ: "OBJ",
-              MAT_DIELECTRIC: "Dielectric", MAT_EMITTER: "Matte",
+              MAT_DIELECTRIC: "ThinDielectric",
+              MAT_DIELECTRIC_SOLID: "Dielectric", MAT_EMITTER: "Matte",
               MAT_METAL: "Metal", MAT_REFLECTIVE_METAL: "ReflectiveMetal",
-              MAT_VELVET: "Velvet", MAT_METALLIC_PAINT: "MetallicPaint"}
+              MAT_VELVET: "Velvet", MAT_METALLIC_PAINT: "MetallicPaint",
+              MAT_HAIR: "Hair"}
 
 
 def write_xml(path: str, scene: XMLScene) -> None:

@@ -228,3 +228,38 @@ def make_segment_intersector(p0, p1, prim, u0, du):
         return valid, t_hit, u, jnp.zeros_like(u), ng
 
     return intersect_fn, PR
+
+
+class BezierCurvesMB(Geometry):
+    """Motion-blur Bezier curves: N >= 2 control-point timesteps over
+    one topology (the bvh_builder_msmblur_hair analog). Each timestep
+    tessellates into the same R segments; the MB curve accel
+    (traverse/mb.py MBCurves) lerps segment endpoints/radii at the
+    ray's time and runs the swept-cone test."""
+
+    def __init__(self, vertices_begin=None, vertices_end=None, indices=None,
+                 timesteps=None, tessellation_rate: int = 8):
+        super().__init__()
+        if timesteps is not None:
+            self.vertex_timesteps = [np.asarray(v, np.float32)
+                                     for v in timesteps]
+            assert len(self.vertex_timesteps) >= 2
+        else:
+            self.vertex_timesteps = [np.asarray(vertices_begin, np.float32),
+                                     np.asarray(vertices_end, np.float32)]
+        self.indices = np.asarray(indices, np.int32)
+        self.tessellation_rate = int(tessellation_rate)
+
+    @property
+    def num_prims(self) -> int:
+        return int(self.indices.shape[0])
+
+    def timestep_segments(self):
+        """Per-timestep (p0, p1, prim, u0, du) segment soups (p0/p1
+        carry xyzr) over the SHARED tessellation."""
+        out = []
+        for v in self.vertex_timesteps:
+            c = BezierCurves(v, self.indices,
+                             tessellation_rate=self.tessellation_rate)
+            out.append(c.to_segments())
+        return out

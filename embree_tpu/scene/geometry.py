@@ -176,6 +176,29 @@ class TriangleMeshMB(Geometry):
         return int(self.indices.shape[0])
 
 
+class QuadMeshMB(Geometry):
+    """Motion-blur quad mesh (RTC_GEOMETRY_TYPE_QUAD with N timesteps;
+    the msmblur builder's quad variant). Quads split into the same two
+    triangles as QuadMesh at every timestep, so MB leaf lerps stay
+    watertight across the shared diagonal."""
+
+    def __init__(self, vertices_begin=None, vertices_end=None, indices=None,
+                 timesteps=None):
+        super().__init__()
+        if timesteps is not None:
+            self.vertex_timesteps = [np.asarray(v, np.float32)
+                                     for v in timesteps]
+            assert len(self.vertex_timesteps) >= 2
+        else:
+            self.vertex_timesteps = [np.asarray(vertices_begin, np.float32),
+                                     np.asarray(vertices_end, np.float32)]
+        self.indices = np.asarray(indices, np.int32)   # (Q, 4)
+
+    @property
+    def num_prims(self) -> int:
+        return int(self.indices.shape[0])
+
+
 class SubdivMeshMB(Geometry):
     """Motion-blur Catmull-Clark subdivision mesh: N >= 2 cage-vertex
     timesteps over one topology (the reference's subdiv MB,

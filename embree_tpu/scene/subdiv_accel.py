@@ -214,3 +214,33 @@ def interpolate_subdiv(ev: SubdivEval, face, u, v):
     N = grid_sample(ev, face, u, v, ev.normals)
     N = N / jnp.maximum(jnp.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
     return P, N
+
+
+def fused_normal_table(ev: SubdivEval):
+    """Pre-gather the normals through the per-patch index grids ONCE:
+    (P*(G+1)^2, 3) rows addressable by flat (patch, i, j) arithmetic.
+    Turns the per-hit double gather (grids then normals — 8 1M-row
+    gathers per frame, ~13 ms each on v5e) into 4 single row gathers;
+    the viewer's smooth-normal pass was ~37% of the bomberman frame."""
+    return ev.normals[ev.grids.reshape(-1)]
+
+
+def sample_normal_fused(table, ev: SubdivEval, face, u, v):
+    """Bilinear smooth normal via the fused table (one gather/corner)."""
+    G = ev.grid_res
+    patch = ev.patch_of_face[face]
+    fu = jnp.clip(u, 0.0, 1.0) * G
+    fv = jnp.clip(v, 0.0, 1.0) * G
+    i0 = jnp.clip(fu.astype(jnp.int32), 0, G - 1)
+    j0 = jnp.clip(fv.astype(jnp.int32), 0, G - 1)
+    du = (fu - i0)[..., None]
+    dv = (fv - j0)[..., None]
+    base = (patch * (G + 1) + i0) * (G + 1) + j0
+    a00 = table[base]
+    a10 = table[base + (G + 1)]
+    a01 = table[base + 1]
+    a11 = table[base + (G + 2)]
+    n = (a00 * (1 - du) * (1 - dv) + a10 * du * (1 - dv)
+         + a01 * (1 - du) * dv + a11 * du * dv)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                           1e-20)

@@ -39,10 +39,20 @@ class MBAccel(NamedTuple):
     geom_id: jnp.ndarray     # (T,)
     prim_id: jnp.ndarray
     uv_flip: jnp.ndarray
+    # MB4D temporal splits (AlignedNodeMB4D, bvh.h:837): per-CHILD valid
+    # time range — children of the synthetic root carry the temporal-
+    # split subranges, everything else is [0, 1]. Rays only enter a
+    # child whose range contains their time.
+    time_lo: jnp.ndarray = None    # (M, W) f32
+    time_hi: jnp.ndarray = None
 
     @property
     def num_timesteps(self) -> int:
         return self.lower_ts.shape[0]
+
+    @property
+    def has_time_splits(self) -> bool:
+        return self.time_lo is not None
 
 
 def _seg_weights(tm, S):
@@ -93,7 +103,12 @@ def intersect_mb(accel: MBAccel, rays: Rays, time,
         tmin = ROBUST_MIN_RCP * jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
         tmax = ROBUST_MAX_RCP * jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
         tmin = jnp.maximum(tmin, tnear[None])
-        return tmin, (tmin <= tmax) & (tmin <= tcur[None])
+        hit = (tmin <= tmax) & (tmin <= tcur[None])
+        if accel.has_time_splits:
+            # MB4D gate: per-ray time inside the child's valid range
+            hit = hit & (tm[None] >= accel.time_lo[node][:, None]) \
+                & (tm[None] <= accel.time_hi[node][:, None])
+        return tmin, hit
 
     def lerp_tri(p):
         w_ = w[..., None]
@@ -162,6 +177,10 @@ def _finalize_mb(accel: MBAccel, rays: Rays, t, prim, tm) -> Hits:
     valid = prim >= 0
     ok, _t2, u, v, ng = intersect_triangle(
         org, direction, tnear, t * (1.0 + 1e-6) + 1e-30, v0, v1, v2)
+    # quad second-triangle uv remap (quadv.h: u->1-u, v->1-v)
+    fl = accel.uv_flip[p] == 1
+    u = jnp.where(fl, 1.0 - u, u)
+    v = jnp.where(fl, 1.0 - v, v)
     shape = rays.batch_shape
     return Hits(
         t=jnp.where(valid, t, tfar).reshape(shape),
@@ -173,3 +192,114 @@ def _finalize_mb(accel: MBAccel, rays: Rays, t, prim, tm) -> Hits:
         gprim=jnp.where(valid, p, -1).reshape(shape),
         inst_id=jnp.full(shape, -1, jnp.int32),
     )
+
+
+class MBCurves(NamedTuple):
+    """Motion-blur CURVE accel (bvh_builder_msmblur_hair analog): one
+    SAH topology over all-timestep segment union bounds, per-timestep
+    refits, swept-cone leaves lerped at the ray's time."""
+
+    bvh: BVH
+    lower_ts: jnp.ndarray    # (S, M, W, 3)
+    upper_ts: jnp.ndarray
+    p0_ts: jnp.ndarray       # (S, C, 4) xyzr segment starts per timestep
+    p1_ts: jnp.ndarray       # (S, C, 4)
+    geom_id: jnp.ndarray     # (C,)
+    prim_id: jnp.ndarray     # (C,) curve id within geometry
+    u0: jnp.ndarray          # (C,) curve-u at segment start
+    du: jnp.ndarray          # (C,)
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.lower_ts.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("stack_depth", "max_leaf"))
+def intersect_mb_curves(accel: MBCurves, rays: Rays, time,
+                        stack_depth: int = 96, max_leaf: int = 8):
+    """Closest curve hit at ray time: (t, u, v, ng, prim, hitm) flat."""
+    from .hair import _cone_hit
+
+    bvh = accel.bvh
+    S = accel.num_timesteps
+    org = rays.org.reshape(-1, 3)
+    direction = rays.dir.reshape(-1, 3)
+    tnear = rays.tnear.reshape(-1)
+    tfar = rays.tfar.reshape(-1)
+    R = tnear.shape[0]
+    tm = jnp.asarray(time, jnp.float32)
+    tm = jnp.broadcast_to(tm.reshape(-1) if tm.ndim > 1 else tm, (R,))
+    seg, w = _seg_weights(tm, S)
+    rdir = rcp_safe(direction)
+    org_rdir = org * rdir
+    tmin_time = jnp.min(tm)
+    tmax_time = jnp.max(tm)
+    rr = Rays(org, direction, tnear, tfar)
+
+    def node_test(node, tcur):
+        lo = jnp.full((bvh.width, 3), jnp.inf)
+        hi = jnp.full((bvh.width, 3), -jnp.inf)
+        for s in range(S):
+            k0 = (s - 1) / (S - 1)
+            k1 = (s + 1) / (S - 1)
+            act = (k1 >= tmin_time) & (k0 <= tmax_time)
+            lo = jnp.where(act, jnp.minimum(lo, accel.lower_ts[s, node]),
+                           lo)
+            hi = jnp.where(act, jnp.maximum(hi, accel.upper_ts[s, node]),
+                           hi)
+        t_lo = lo[:, None, :] * rdir[None] - org_rdir[None]
+        t_hi = hi[:, None, :] * rdir[None] - org_rdir[None]
+        tmin = ROBUST_MIN_RCP * jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+        tmax = ROBUST_MAX_RCP * jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+        tmin = jnp.maximum(tmin, tnear[None])
+        return tmin, (tmin <= tmax) & (tmin <= tcur[None])
+
+    def leaf(start, count, t, prim, sh):
+        def body(i, carry):
+            t, prim, sh = carry
+            p = bvh.prim_order[start + i]
+            w_ = w[..., None]
+            a = accel.p0_ts[seg, p] * (1 - w_) + accel.p0_ts[seg + 1, p] * w_
+            b = accel.p1_ts[seg, p] * (1 - w_) + accel.p1_ts[seg + 1, p] * w_
+            ok, th, uh, ng = _cone_hit(a[:, :3], b[:, :3], a[:, 3], b[:, 3],
+                                       rr, t)
+            ok = ok & (i < count)
+            return (jnp.where(ok, th, t), jnp.where(ok, p, prim),
+                    (jnp.where(ok, uh, sh[0]),
+                     jnp.where(ok[..., None], ng, sh[1])))
+
+        return jax.lax.fori_loop(0, jnp.minimum(count, max_leaf), body,
+                                 (t, prim, sh))
+
+    def cond(c):
+        return c[0] > 0
+
+    def step(c):
+        sp, stack, t, prim, sh = c
+        sp = sp - 1
+        node = stack[sp]
+        child, count = bvh.child[node], bvh.count[node]
+        tmin, hit = node_test(node, t)
+        any_hit = jnp.any(hit, axis=1) & (count >= 0)
+        for cc in range(bvh.width):
+            def run(a, cc=cc):
+                return leaf(child[cc], count[cc], *a)
+            t, prim, sh = jax.lax.cond(
+                any_hit[cc] & (count[cc] > 0), run,
+                lambda a: a, (t, prim, sh))
+        for cc in range(bvh.width):
+            push = any_hit[cc] & (count[cc] == 0)
+            stack = jnp.where(push, stack.at[sp].set(child[cc]), stack)
+            sp = sp + push.astype(jnp.int32)
+        return sp, stack, t, prim, sh
+
+    sh0 = (jnp.zeros((R,)), jnp.zeros((R, 3)))
+    init = (jnp.int32(1), jnp.zeros((stack_depth,), jnp.int32), tfar,
+            jnp.full((R,), -1, jnp.int32), sh0)
+    _sp, _stack, t, prim, sh = jax.lax.while_loop(cond, step, init)
+    hitm = prim >= 0
+    p = jnp.maximum(prim, 0)
+    u = jnp.where(hitm, accel.u0[p] + sh[0] * accel.du[p], 0.0)
+    return (t, u, jnp.zeros_like(u), sh[1],
+            jnp.where(hitm, accel.prim_id[p], -1),
+            jnp.where(hitm, accel.geom_id[p], -1), hitm)

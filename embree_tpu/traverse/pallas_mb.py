@@ -74,7 +74,7 @@ def pack_mb(accel) -> MBPallas:
     bvh = accel.bvh
     child = np.asarray(bvh.child, np.float32)   # (M, W)
     count = np.asarray(bvh.count, np.float32)
-    rows = np.empty((M, 2 * W + S * 6 * W), np.float32)
+    rows = np.empty((M, 2 * W + S * 6 * W + 2 * W), np.float32)
     rows[:, 0 * W:1 * W] = child
     rows[:, 1 * W:2 * W] = count
     for s in range(S):
@@ -83,6 +83,14 @@ def pack_mb(accel) -> MBPallas:
             rows[:, base + a * W: base + (a + 1) * W] = low[s, :, :, a]
             rows[:, base + (3 + a) * W: base + (4 + a) * W] = \
                 upp[s, :, :, a]
+    # MB4D per-child time gates (mb.py time_lo/hi; [0,1] when no splits)
+    tb = 2 * W + S * 6 * W
+    if accel.has_time_splits:
+        rows[:, tb:tb + W] = np.asarray(accel.time_lo)
+        rows[:, tb + W:tb + 2 * W] = np.asarray(accel.time_hi)
+    else:
+        rows[:, tb:tb + W] = 0.0
+        rows[:, tb + W:tb + 2 * W] = 1.0
     v0 = np.asarray(accel.v0_ts)         # (S, T, 3)
     v1 = np.asarray(accel.v1_ts)
     v2 = np.asarray(accel.v2_ts)
@@ -230,6 +238,10 @@ def _mb_kernel(S: int, W: int, occluded: bool):
                 tmax = jnp.where(lox <= hix, tmax, -INF)
                 tmin = jnp.maximum(tmin, tnear)
                 hitm = (tmin <= tmax) & (tmin <= t)
+                # MB4D per-ray time gate (AlignedNodeMB4D, bvh.h:837)
+                tb = 2 * W + S * 6 * W
+                hitm = hitm & (time >= nrow[tb + c]) \
+                    & (time <= nrow[tb + W + c])
                 anyhit = jnp.any(hitm)
                 cc = nrow[0 * W + c].astype(jnp.int32)
                 cnt = nrow[1 * W + c].astype(jnp.int32)

@@ -613,33 +613,43 @@ def _prefix_sizes(Rp: int) -> tuple:
 def _mid_mask_prepass(org, d, tn, tf, mid_boxes, num_mids: int,
                       mid_words: int):
     """XLA prepass: per-ray bitmask of entered mid boxes + first-mid
-    sort key. One O(M) pass per ray for the WHOLE traversal."""
-    rdx = _rcp_safe(d[:, 0])
-    rdy = _rcp_safe(d[:, 1])
-    rdz = _rcp_safe(d[:, 2])
-    orx = org[:, 0] * rdx
-    ory = org[:, 1] * rdy
-    orz = org[:, 2] * rdz
+    sort key. One O(M) pass per ray for the WHOLE traversal.
+
+    Vectorized (R, 32)-broadcast per mask word — the r4 fori_loop form
+    paid ~2.5 ms of loop overhead PER MID on this backend (measured
+    ~0.5 s of the 2M-ray forward); the broadcast form fuses into a
+    handful of full-width elementwise passes."""
+    rdx = _rcp_safe(d[:, 0])[:, None]
+    rdy = _rcp_safe(d[:, 1])[:, None]
+    rdz = _rcp_safe(d[:, 2])[:, None]
+    orx = org[:, 0][:, None] * rdx
+    ory = org[:, 1][:, None] * rdy
+    orz = org[:, 2][:, None] * rdz
+    tnc = tn[:, None]
+    tfc = tf[:, None]
     mb = mid_boxes.reshape(-1, 6)
-
-    def body(m, mm):
-        tmin, tmax = _slab(mb[m, 0], mb[m, 1], mb[m, 2],
-                           mb[m, 3], mb[m, 4], mb[m, 5],
-                           rdx, rdy, rdz, orx, ory, orz, tn)
-        ok = (tmin <= tmax) & (tmin <= tf)
-        bit = jax.lax.shift_left(jnp.int32(1), jnp.bitwise_and(m, 31))
-        out = []
-        for w in range(mid_words):
-            out.append(jnp.where(
-                ok & (jax.lax.shift_right_logical(m, 5) == w),
-                jnp.bitwise_or(mm[w], bit), mm[w]))
-        return tuple(out)
-
-    zero = jnp.zeros(org.shape[0], jnp.int32)
-    mm = jax.lax.fori_loop(0, num_mids, body, tuple([zero] * mid_words))
-    first = _ffs_words(list(mm))
+    M = mb.shape[0]
+    mm = []
+    for w in range(mid_words):
+        lo_w = min(w * 32, M)
+        hi_w = min(w * 32 + 32, M)
+        nw = hi_w - lo_w
+        if nw == 0:
+            mm.append(jnp.zeros(org.shape[0], jnp.int32))
+            continue
+        b = mb[lo_w:hi_w]                              # (nw, 6)
+        tmin, tmax = _slab(b[None, :, 0], b[None, :, 1], b[None, :, 2],
+                           b[None, :, 3], b[None, :, 4], b[None, :, 5],
+                           rdx, rdy, rdz, orx, ory, orz, tnc)
+        ok = (tmin <= tmax) & (tmin <= tfc)            # (R, nw)
+        bits = jnp.asarray(
+            np.array([np.int32(np.uint32(1 << j)) for j in range(nw)]))
+        # distinct single bits: wrap-add == bitwise OR
+        mm.append(jnp.sum(jnp.where(ok, bits[None, :], 0), axis=1,
+                          dtype=jnp.int32))
+    first = _ffs_words(mm)
     key = jnp.where(first < BIG, first * 130, DONE_KEY)
-    return mm, key
+    return tuple(mm), key
 
 
 @functools.partial(jax.jit,

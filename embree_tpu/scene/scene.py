@@ -53,6 +53,10 @@ class InstanceEntry(NamedTuple):
     child: object              # CommittedScene
     local2world: jnp.ndarray   # (3, 4)
     world2local: jnp.ndarray   # (3, 4)
+    # opened-entry world boxes for the two-level cull (open_merge
+    # heuristic, build/twolevel.py); None when the child has no tris
+    cull_lower: jnp.ndarray = None   # (E, 3)
+    cull_upper: jnp.ndarray = None
 
 
 import jax as _jax
@@ -301,11 +305,24 @@ class Scene:
                 lin = l2w[:, :3]
                 inv = np.linalg.inv(lin)
                 w2l = np.concatenate([inv, (-inv @ l2w[:, 3:])], axis=1)
+                cull_lo = cull_hi = None
+                host_bvh = getattr(g.child_scene, "_bvh_host", None)
+                if (host_bvh is not None and host_bvh.lower.shape[0]
+                        and (np.asarray(host_bvh.count)[0] >= 0).any()):
+                    from ..build.twolevel import open_merge_entries
+                    ent = open_merge_entries([(l2w,
+                                               np.asarray(host_bvh.lower),
+                                               np.asarray(host_bvh.upper),
+                                               np.asarray(host_bvh.child),
+                                               np.asarray(host_bvh.count))])
+                    cull_lo = jnp.asarray(ent.lower)
+                    cull_hi = jnp.asarray(ent.upper)
                 instances.append(InstanceEntry(
                     inst_id=jnp.int32(gid),
                     child=child_cs,
                     local2world=jnp.asarray(l2w),
-                    world2local=jnp.asarray(w2l.astype(np.float32))))
+                    world2local=jnp.asarray(w2l.astype(np.float32)),
+                    cull_lower=cull_lo, cull_upper=cull_hi))
             elif isinstance(g, UserGeometry):
                 ids = np.arange(g.num_prims, dtype=np.int64)
                 blo, bhi = g.bounds_fn(ids)
@@ -405,6 +422,9 @@ class Scene:
                                backend=self.device.state.builder,
                                tri_verts=tv)
         self._progress(0.9)
+        # host builder arrays retained for the parent scene's two-level
+        # open-merge (build/twolevel.py)
+        self._bvh_host = bvh_np
         with profile_phase("scene.upload"):
             bvh = bvh_np.to_device()
 
@@ -1080,6 +1100,25 @@ def _make_cluster_fn(rot, leaf_fn, members, n_members, gid):
     return cluster_fn
 
 
+def _entry_cull(lower, upper, rays: Rays, tfar):
+    """Any-hit slab test of the ray batch against an instance's opened
+    entry boxes (build/twolevel.py): (batch,) bool reach mask."""
+    from ..core.math import rcp_safe
+    org = rays.org.reshape(-1, 3)
+    d = rays.dir.reshape(-1, 3)
+    tn = rays.tnear.reshape(-1)
+    tf = tfar.reshape(-1)
+    rd = rcp_safe(d)
+    ord_ = org * rd
+    t_lo = lower[None] * rd[:, None, :] - ord_[:, None, :]   # (R, E, 3)
+    t_hi = upper[None] * rd[:, None, :] - ord_[:, None, :]
+    tmin = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+    tmax = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+    tmin = jnp.maximum(tmin, tn[:, None])
+    hit = (tmin <= tmax * 1.0000004) & (tmin <= tf[:, None])
+    return jnp.any(hit, axis=1).reshape(rays.batch_shape)
+
+
 def _fold_hair(cs, rays: Rays, hits: Hits, isa: str = "default") -> Hits:
     """AccelN fold step for the hair OBB clusters. On the TPU path the
     clusters walk the packet kernel with typed curve leaves
@@ -1411,8 +1450,16 @@ def scene_intersect(cs: CommittedScene, rays: Rays, isa: str = "default",
         w2l = inst.world2local
         lorg = rays.org @ w2l[:, :3].T + w2l[:, 3]
         ldir = rays.dir @ w2l[:, :3].T
+        tfar_in = hits.t
+        if inst.cull_lower is not None:
+            # two-level opened-entry cull (open_merge analog): rays
+            # missing every opened box traverse the child as pads
+            reach = _entry_cull(inst.cull_lower, inst.cull_upper, rays,
+                                hits.t)
+            tfar_in = jnp.where(reach, hits.t, -jnp.inf)
         h = scene_intersect(inst.child,
-                            Rays(lorg, ldir, rays.tnear, hits.t), isa=isa)
+                            Rays(lorg, ldir, rays.tnear, tfar_in),
+                            isa=isa)
         use = h.valid & (h.t < hits.t)
         # normals transform by (L^-1)^T == w2l_lin^T (row form: ng @ w2l_lin)
         ng_w = h.ng @ w2l[:, :3]

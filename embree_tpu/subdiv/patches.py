@@ -541,9 +541,15 @@ def _build_ladder(iso_quads, V_iso, q: int, r: int, crease_pairs, crease_w,
     stam_valid = False
     stam_Cw = stam_Apow = stam_M = None
     stam_K = V_k
-    no_creases = (cp_pairs is None and
-                  (vs is None or not (np.asarray(vs) > 0).any()))
-    if no_creases and V_k <= N0_MAX:
+    # r5: the cap also covers CREASE-ring EVs (VERDICT r4 #7) — infinite
+    # crease rules are stationary too (catmullclark_ring.h crease rules
+    # don't decay), so the identity probe runs WITH the surviving crease
+    # data and the guard below additionally requires the crease STATE
+    # (topology + crease sets) to reproduce itself between rungs, which
+    # makes A^k exact by induction. Semi-sharp creases decay per level
+    # (not stationary) and correctly fail the state check — but those
+    # are already gone at the cap (iso_levels absorbs finite weights).
+    if V_k <= N0_MAX:
         Wid = np.zeros((V_k, N0_MAX), np.float32)
         Wid[np.arange(V_k), np.arange(V_k)] = 1.0
         # NOTE: the 1-ring submesh always has an ARTIFICIAL boundary
@@ -551,18 +557,48 @@ def _build_ladder(iso_quads, V_iso, q: int, r: int, crease_pairs, crease_w,
         # they are two rings away from every center-child stencil and
         # from the child ring, so they cannot leak into A or M_c. The
         # stationarity check A1 == A2 below is the actual guard.
-        cw1, cok1, _cbw1, st1, _sh1 = rung(quads_k, V_k, None, None, vs,
-                                           Wid, 0)
+        cw1, cok1, _cbw1, st1, _sh1 = rung(quads_k, V_k, cp_pairs, cp_w,
+                                           vs, Wid, 0)
         q2, V2, cp2, cw2_, vs2, A1 = st1
-        if (V2 == V_k and cok1[1] and cok1[2] and cok1[3]
-                and cp2 is None):
+        if V2 == V_k and cok1[1] and cok1[2] and cok1[3]:
             Wid2 = np.zeros((V2, N0_MAX), np.float32)
             Wid2[np.arange(V2), np.arange(V2)] = 1.0
-            _cw2, cok2, _cbw2, st2, _sh2 = rung(q2, V2, None, None, vs2,
+            _cw2, cok2, _cbw2, st2, _sh2 = rung(q2, V2, cp2, cw2_, vs2,
                                                 Wid2, 0)
             A2 = st2[5]
+
+            def _crease_state_eq():
+                """Induction guard: the rung must reproduce its own
+                crease state (same quads, crease pairs/weights, vertex
+                sharpness) so every deeper rung applies the SAME map."""
+                if not np.array_equal(np.asarray(q2),
+                                      np.asarray(st2[0])):
+                    return False
+                a_p, a_w = cp2, cw2_
+                b_p, b_w = st2[2], st2[3]
+                if (a_p is None) != (b_p is None):
+                    return False
+                if a_p is not None:
+                    ka = sorted(zip(map(tuple, np.sort(a_p, 1).tolist()),
+                                    a_w.tolist()))
+                    kb = sorted(zip(map(tuple, np.sort(b_p, 1).tolist()),
+                                    b_w.tolist()))
+                    if len(ka) != len(kb):
+                        return False
+                    for (pa, wa), (pb, wb) in zip(ka, kb):
+                        if pa != pb or not np.isclose(wa, wb):
+                            return False
+                va = vs2 if vs2 is not None else None
+                vb = st2[4] if st2[4] is not None else None
+                if (va is None) != (vb is None):
+                    return False
+                if va is not None and not np.allclose(va, vb):
+                    return False
+                return True
+
             if (st2[1] == V_k
-                    and np.allclose(A1[:, :V_k], A2[:, :V_k], atol=1e-5)):
+                    and np.allclose(A1[:, :V_k], A2[:, :V_k], atol=1e-5)
+                    and _crease_state_eq()):
                 A = np.zeros((N0_MAX, N0_MAX), np.float32)
                 A[:V_k, :V_k] = A1[:, :V_k]
                 stam_Apow = np.zeros((5, N0_MAX, N0_MAX), np.float32)

@@ -365,3 +365,57 @@ def test_creased_ev_golden():
     rel = np.linalg.norm(fd - an, axis=1) / np.maximum(
         np.linalg.norm(fd, axis=1), 1e-9)
     assert (rel < 1e-2).mean() >= 0.95, (rel < 1e-2).mean()
+
+
+def test_creased_ev_exact_cap():
+    """VERDICT r4 #7: the self-similar cap now covers CREASE-ring EVs
+    (infinite crease rules are stationary). Gates: the cap activates on
+    a creased cube's ladders; the creased-EV eval agrees with a
+    deeper-iso table to f32-level (was the ~1e-3 bilinear cap); and
+    the FD gate holds for ON-CREASE approach directions."""
+    verts, fc, fi = _cube()
+    creases = np.array([[0, 1], [1, 3], [3, 2], [2, 0]], np.int64)
+    cw = np.full(4, np.inf, np.float32)
+    pt2 = build_patch_table(fc, fi, 8, edge_creases=creases,
+                            edge_crease_weights=cw)
+    pt6 = build_patch_table(fc, fi, 8, edge_creases=creases,
+                            edge_crease_weights=cw, iso_levels=6)
+    # the exact cap must activate for the creased ladders now
+    assert pt2.lad_stam_ok is not None and pt2.lad_stam_ok.any()
+    frac = float(np.asarray(pt2.lad_stam_ok).mean())
+    assert frac > 0.9, f"cap active on only {frac:.0%} of ladders"
+
+    vi2 = np.asarray(evaluate_plan(pt2.plan, verts))
+    vi6 = np.asarray(evaluate_plan(pt6.plan, verts))
+    rng = np.random.default_rng(17)
+    n = 500
+    r = 10 ** rng.uniform(-1.5, -0.7, n)
+    # INCLUDES on-crease approach (th=0, walking along the crease
+    # curve); capped at pi/3 so the u-direction FD step below never
+    # crosses u=0 into the neighboring sub-patch
+    th = rng.uniform(0.0, np.pi / 3, n)
+    u = (r * np.cos(th)).astype(np.float32)
+    v = (r * np.sin(th)).astype(np.float32)
+    f = np.zeros(n, np.int32)
+    o2 = eval_patch_table(pt2, vi2, f, u, v)
+    o6 = eval_patch_table(pt6, vi6, f, u, v)
+    dP = np.linalg.norm(np.asarray(o2["P"]) - np.asarray(o6["P"]), axis=1)
+    assert dP.max() < 2e-5, dP.max()     # was ~1e-3 with the bilinear cap
+    dD = np.linalg.norm(np.asarray(o2["dPdu"]) - np.asarray(o6["dPdu"]),
+                        axis=1)
+    assert dD.max() < 1e-3, dD.max()
+
+    # FD gate with ON-CREASE approach: walk along u at v ~ 0 (the
+    # crease curve) and at a handful of angled directions
+    h = (r / 20).astype(np.float64)
+    Pp = np.asarray(eval_patch_table(pt2, vi2, f,
+                                     (u + h).astype(np.float32), v)["P"],
+                    np.float64)
+    Pm = np.asarray(eval_patch_table(pt2, vi2, f,
+                                     (u - h).astype(np.float32), v)["P"],
+                    np.float64)
+    fd = (Pp - Pm) / (2 * h)[:, None]
+    an = np.asarray(o2["dPdu"])
+    rel = np.linalg.norm(fd - an, axis=1) / np.maximum(
+        np.linalg.norm(fd, axis=1), 1e-9)
+    assert (rel < 1e-2).mean() >= 0.99, (rel < 1e-2).mean()

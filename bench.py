@@ -40,7 +40,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     import embree_tpu as et
-    from embree_tpu.diff.hit import reeval_hit_verts
+    from embree_tpu.diff.hit import hit_t_grad
     from embree_tpu.scene.scene import scene_intersect
     from embree_tpu.verify.fixtures import triangle_sphere
 
@@ -65,15 +65,16 @@ def main() -> int:
     idxd = jnp.asarray(idxj)
 
     def loss_fn(vertices, c, r):
-        # BVH structure + hit selection stay stop-gradient; the hit is
-        # re-evaluated differentiably from the PARAMETER vertex table
-        # via one composed rays->corner gather (diff/hit.py
-        # reeval_hit_verts) — same gradient as rebuilding a per-triangle
-        # scene copy (tools/profile_bwd.py checks equivalence), one
-        # sorted segment-sum instead of chained scatters in the bwd
+        # BVH structure + hit selection stay stop-gradient; the loss
+        # surface is the FUSED t-gradient (diff/hit.py hit_t_grad, r5):
+        # the primal is the traversal kernel's own t (zero forward
+        # re-evaluation gathers) and the VJP gathers the winning
+        # corners and applies the analytic dt/dcorner formulas into one
+        # payload-sort segment-sum — gradient equal to the full
+        # re-evaluation's (tools/profile_bwd.py / tests/test_diff.py
+        # check equivalence)
         sel = jax.lax.stop_gradient(scene_intersect(c, r, isa=isa))
-        t, _u, _v = reeval_hit_verts(vertices, idxd, r, sel.gprim,
-                                     sel.valid)
+        t = hit_t_grad(vertices, idxd, r, sel.gprim, sel.valid, sel.t)
         return jnp.sum(jnp.where(sel.valid, t, 0.0))
 
     f = jax.jit(jax.value_and_grad(loss_fn))

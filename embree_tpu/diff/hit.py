@@ -15,6 +15,8 @@ stop-gradient — exactly embree's REFIT-vs-rebuild split.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -143,6 +145,73 @@ def reeval_hit_verts(vertices, tri_idx, rays: Rays, gprim, valid):
     z = jnp.zeros_like(t)
     return (jnp.where(valid, t, rays.tfar),
             jnp.where(valid, u, z), jnp.where(valid, v, z))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _t_fused(vertices, vidx, org, d, tfar, t_kernel, valid):
+    return jnp.where(valid, t_kernel, tfar)
+
+
+def _t_fused_fwd(vertices, vidx, org, d, tfar, t_kernel, valid):
+    return _t_fused(vertices, vidx, org, d, tfar, t_kernel, valid), \
+        (vertices, vidx, org, d, t_kernel, valid)
+
+
+def _t_fused_bwd(res, ct):
+    """Analytic d t / d corners, gathered ONLY here: for
+    t = dot(v0-org, n)/dot(d, n) with n = cross(v1-v0, v2-v0),
+        g      = (q - t d) / den,      q = v0 - org
+        dt/dv0 = n/den + (e1-e2) x g
+        dt/dv1 = e2 x g
+        dt/dv2 = g x e1
+    (translation check: the three sum to n/den). The cotangent lands in
+    the vertex table via the same payload-sort segment-sum as
+    _gather_rows."""
+    vertices, vidx, org, d, t, valid = res
+    V = vertices.shape[0]
+    g3 = vertices[vidx.reshape(-1)].reshape(vidx.shape + (3,))
+    v0, v1, v2 = g3[..., 0, :], g3[..., 1, :], g3[..., 2, :]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = cross(e1, e2)
+    den = dot(d, n)
+    den_safe = jnp.where(jnp.abs(den) > 1e-30, den, 1.0)
+    q = v0 - org
+    # sanitize miss lanes (t = tfar = inf would make inf * 0 = NaN
+    # under the valid mask below)
+    t_s = jnp.where(valid, t, 0.0)
+    gv = (q - t_s[..., None] * d) / den_safe[..., None]
+    dv0 = n / den_safe[..., None] + cross(e1 - e2, gv)
+    dv1 = cross(e2, gv)
+    dv2 = cross(gv, e1)
+    w = jnp.where(valid, ct, 0.0)[..., None]
+    cts = jnp.stack([dv0 * w, dv1 * w, dv2 * w], axis=-2)  # (R, 3, 3)
+    idx = vidx.reshape(-1)
+    cflat = cts.reshape(-1, 3)
+    ops = (idx,) + tuple(cflat[:, j] for j in range(3))
+    s = jax.lax.sort(ops, num_keys=1)
+    gout = jax.ops.segment_sum(jnp.stack(s[1:], axis=-1), s[0],
+                               num_segments=V, indices_are_sorted=True)
+    z3 = jnp.zeros_like(org)
+    return (gout, None, z3, z3, jnp.zeros_like(t), jnp.zeros_like(t),
+            None)
+
+
+_t_fused.defvjp(_t_fused_fwd, _t_fused_bwd)
+
+
+def hit_t_grad(vertices, tri_idx, rays: Rays, gprim, valid, t_kernel):
+    """Fused training-loss surface for t: the PRIMAL is the traversal
+    kernel's own t (no forward re-evaluation gathers at all); the VJP
+    gathers the winning corners and applies the analytic dt/dcorner
+    formulas. Same gradient as reeval_hit_verts' t output
+    (tools/profile_bwd.py checks equivalence), ~half the step cost.
+
+    Same single-triangle-mesh constraint as reeval_hit_verts."""
+    p = jnp.maximum(gprim, 0)
+    vidx = jax.lax.stop_gradient(jnp.take(tri_idx, p, axis=0))
+    return _t_fused(vertices, vidx, rays.org, rays.dir, rays.tfar,
+                    t_kernel, valid)
 
 
 def intersect_diff(cs: CommittedScene, rays: Rays, isa: str = "default") -> Hits:

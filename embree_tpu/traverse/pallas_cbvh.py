@@ -53,7 +53,12 @@ ROBUST_MAX = np.float32(1.0 + 3.0 * 2.0 ** -23)
 INF = np.float32(np.inf)
 G_EPS = np.float32(1e-4)
 QDEPTH = 24          # quadtree stacks (cl<=4 -> depth 4, 3 pushes/pop)
-STACK_DEPTH = 160    # top-level stack
+# top-level stack: deep enough for the K-wide (partly breadth-first)
+# pop schedule plus DFS headroom; the adaptive pop width in step()
+# keeps it from overflowing (same scheme as pallas_packet r5)
+STACK_DEPTH = 1024
+POP_K = 8            # refs popped per iteration (batched DMA starts)
+SENT = np.int32(-2 ** 31)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -167,7 +172,7 @@ def pack_compressed(accel: CompressedAccel) -> PallasCompressed | None:
     )
 
 
-def _make_kernel(mode: str, cl: int):
+def _make_kernel(mode: str, cl: int, K: int = POP_K):
     g = 1 << cl
     cells = g * g
     elems = (4 ** cl - 1) // 3
@@ -182,7 +187,7 @@ def _make_kernel(mode: str, cl: int):
                ox, oy, oz, dx, dy, dz, tn_in, tf_in,
                t_out, u_out, v_out, tile_out, stats_out,
                stack, nrow, hbuf, nbuf, lbuf, gbuf,
-               qstack, qboxes, nsem, hsem, lsem, gsem):
+               qstack, qboxes, nsem, hsem, tsem, lsem, gsem):
         o_x, o_y, o_z = ox[:], oy[:], oz[:]
         d_x, d_y, d_z = dx[:], dy[:], dz[:]
         rdx = _rcp_safe(d_x); rdy = _rcp_safe(d_y); rdz = _rcp_safe(d_z)
@@ -192,37 +197,66 @@ def _make_kernel(mode: str, cl: int):
 
         stack[0] = jnp.int32(0)
 
-        def tile_intersect(ti, t, u, v, tile, pops):
-            # ---- fetch tile rows into SMEM ------------------------------
-            hd = pltpu.make_async_copy(theader.at[ti], hbuf, hsem)
-            hd.start()
-            nd = pltpu.make_async_copy(tnodes.at[ti], nbuf, nsem)
-            nd.start()
-            if mode == "leaf":
-                ld = pltpu.make_async_copy(tleaf.at[ti], lbuf, lsem)
-                ld.start()
-            if mode == "grid":
-                gd = pltpu.make_async_copy(tgrid.at[ti], gbuf, gsem)
-                gd.start()
-            hd.wait()
-            nd.wait()
-            if mode == "leaf":
-                ld.wait()
-            if mode == "grid":
-                gd.wait()
+        # ---- K-wide ref schedule (r5): pop up to K refs per iteration,
+        # start ALL their row DMAs back-to-back, process in sequence —
+        # the per-pop serial DMA round trip was the bomberman frame's
+        # dominant traversal cost (pallas_packet v3 scheme). A ref >= 0
+        # is a top-level node; ref < 0 encodes tile -(ref+1).
+        def start_ref(i, ref):
+            @pl.when(ref >= 0)
+            def _():
+                pltpu.make_async_copy(topnodes.at[ref], nrow.at[i],
+                                      nsem.at[i]).start()
 
+            @pl.when((ref < 0) & (ref != SENT))
+            def _():
+                ti = -ref - 1
+                pltpu.make_async_copy(theader.at[ti], hbuf.at[i],
+                                      hsem.at[i]).start()
+                pltpu.make_async_copy(tnodes.at[ti], nbuf.at[i],
+                                      tsem.at[i]).start()
+                if mode == "leaf":
+                    pltpu.make_async_copy(tleaf.at[ti], lbuf.at[i],
+                                          lsem.at[i]).start()
+                if mode == "grid":
+                    pltpu.make_async_copy(tgrid.at[ti], gbuf.at[i],
+                                          gsem.at[i]).start()
+
+        def wait_ref(i, ref):
+            @pl.when(ref >= 0)
+            def _():
+                pltpu.make_async_copy(topnodes.at[ref], nrow.at[i],
+                                      nsem.at[i]).wait()
+
+            @pl.when((ref < 0) & (ref != SENT))
+            def _():
+                ti = -ref - 1
+                pltpu.make_async_copy(theader.at[ti], hbuf.at[i],
+                                      hsem.at[i]).wait()
+                pltpu.make_async_copy(tnodes.at[ti], nbuf.at[i],
+                                      tsem.at[i]).wait()
+                if mode == "leaf":
+                    pltpu.make_async_copy(tleaf.at[ti], lbuf.at[i],
+                                          lsem.at[i]).wait()
+                if mode == "grid":
+                    pltpu.make_async_copy(tgrid.at[ti], gbuf.at[i],
+                                          gsem.at[i]).wait()
+
+        def tile_intersect(i, ti, t, u, v, tile):
             # ---- ray -> local frame (compressed.h:457-459) --------------
-            lox = hbuf[0] * o_x + hbuf[1] * o_y + hbuf[2] * o_z
-            loy = hbuf[3] * o_x + hbuf[4] * o_y + hbuf[5] * o_z
-            loz = hbuf[6] * o_x + hbuf[7] * o_y + hbuf[8] * o_z
-            ldx = hbuf[0] * d_x + hbuf[1] * d_y + hbuf[2] * d_z
-            ldy = hbuf[3] * d_x + hbuf[4] * d_y + hbuf[5] * d_z
-            ldz = hbuf[6] * d_x + hbuf[7] * d_y + hbuf[8] * d_z
+            def hb(j):
+                return hbuf[i, j]
+            lox = hb(0) * o_x + hb(1) * o_y + hb(2) * o_z
+            loy = hb(3) * o_x + hb(4) * o_y + hb(5) * o_z
+            loz = hb(6) * o_x + hb(7) * o_y + hb(8) * o_z
+            ldx = hb(0) * d_x + hb(1) * d_y + hb(2) * d_z
+            ldy = hb(3) * d_x + hb(4) * d_y + hb(5) * d_z
+            ldz = hb(6) * d_x + hb(7) * d_y + hb(8) * d_z
 
             # ---- frustum entry (compressed_help.h:109-133) --------------
             rdz_l = _rcp_safe(ldz)
-            t1z = hbuf[27] * rdz_l - loz * rdz_l
-            t2z = hbuf[28] * rdz_l - loz * rdz_l
+            t1z = hb(27) * rdz_l - loz * rdz_l
+            t2z = hb(28) * rdz_l - loz * rdz_l
 
             def iline(p2x, p2y, p3x, p3y):
                 vx = p2x - lox; vy = p2y - loy
@@ -234,10 +268,10 @@ def _make_kernel(mode: str, cl: int):
                 ok = (tt2 >= 0.0) & (tt2 <= 1.0)
                 return tt1, ok
 
-            t1x, v1x = iline(hbuf[29], hbuf[30], hbuf[33], hbuf[34])
-            t2x, v2x = iline(hbuf[31], hbuf[32], hbuf[35], hbuf[36])
-            t1y, v1y = iline(hbuf[29], hbuf[30], hbuf[31], hbuf[32])
-            t2y, v2y = iline(hbuf[33], hbuf[34], hbuf[35], hbuf[36])
+            t1x, v1x = iline(hb(29), hb(30), hb(33), hb(34))
+            t2x, v2x = iline(hb(31), hb(32), hb(35), hb(36))
+            t1y, v1y = iline(hb(29), hb(30), hb(31), hb(32))
+            t2y, v2y = iline(hb(33), hb(34), hb(35), hb(36))
             near1 = jnp.minimum(
                 jnp.minimum(jnp.where(v1x, t1x, INF), jnp.where(v2x, t2x, INF)),
                 jnp.minimum(jnp.where(v1y, t1y, INF), jnp.where(v2y, t2y, INF)))
@@ -250,10 +284,10 @@ def _make_kernel(mode: str, cl: int):
 
             # ---- projected ray (compressed.h:464-505) -------------------
             def proj_pt(px, py, pz):
-                w = hbuf[15] * px + hbuf[16] * py + hbuf[17]
+                w = hb(15) * px + hb(16) * py + hb(17)
                 w = jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)
-                return ((hbuf[9] * px + hbuf[10] * py + hbuf[11]) / w,
-                        (hbuf[12] * px + hbuf[13] * py + hbuf[14]) / w, pz)
+                return ((hb(9) * px + hb(10) * py + hb(11)) / w,
+                        (hb(12) * px + hb(13) * py + hb(14)) / w, pz)
 
             e1x, e1y, e1z = proj_pt(lox + near * ldx, loy + near * ldy,
                                     loz + near * ldz)
@@ -283,23 +317,23 @@ def _make_kernel(mode: str, cl: int):
             qstack[0] = jnp.int32(0)
             qboxes[0, 0] = jnp.float32(-1.0)
             qboxes[0, 1] = jnp.float32(-1.0)
-            qboxes[0, 2] = hbuf[27]
+            qboxes[0, 2] = hb(27)
             qboxes[0, 3] = jnp.float32(1.0)
             qboxes[0, 4] = jnp.float32(1.0)
-            qboxes[0, 5] = hbuf[28]
+            qboxes[0, 5] = hb(28)
 
             def world_t(th):
                 # distance back to world space (:583-590, :648-656)
                 px = pox + th * pdx; py = poy + th * pdy; pz = poz + th * pdz
-                w = hbuf[24] * px + hbuf[25] * py + hbuf[26]
+                w = hb(24) * px + hb(25) * py + hb(26)
                 w = jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)
-                ux = (hbuf[18] * px + hbuf[19] * py + hbuf[20]) / w
-                uy = (hbuf[21] * px + hbuf[22] * py + hbuf[23]) / w
+                ux = (hb(18) * px + hb(19) * py + hb(20)) / w
+                uy = (hb(21) * px + hb(22) * py + hb(23)) / w
                 fx = ux - lox; fy = uy - loy; fz = pz - loz
                 flat_t = jnp.sqrt(fx * fx + fy * fy + fz * fz)
                 return jnp.where(flat, flat_t, th / zf + near)
 
-            def qstep(carry):
+            def _qpop(carry):
                 qsp, t, u, v, tile, tloc, qpops = carry
                 qsp = qsp - 1
                 curr = qstack[qsp]
@@ -350,13 +384,13 @@ def _make_kernel(mode: str, cl: int):
                         tile = jnp.where(hit, ti, tile)
                         tloc = jnp.where(hit, tmin, tloc)
                     elif mode == "leaf":
-                        word = lbuf[idx // 2].astype(jnp.uint32)
+                        word = lbuf[i, idx // 2].astype(jnp.uint32)
                         cw = jnp.where(idx % 2 == 0, word & 0xFFFF,
                                        word >> 16)
                         z12 = (cw & 0xFF).astype(jnp.int32)
                         z34 = ((cw >> 8) & 0xFF).astype(jnp.int32)
                         dimz = bhz - blz
-                        ext = hbuf[41]
+                        ext = hb(41)
                         rng = (1.0 + 2.0 * ext) * dimz
                         off = blz - dimz * ext
                         rf = rng * (1.0 / 16.0)
@@ -407,11 +441,13 @@ def _make_kernel(mode: str, cl: int):
                         imx = compact(idx)
                         imy = compact(idx >> 1)
 
-                        def vtx(i, j):
-                            base = 3 * (i * (g + 1) + j)
-                            return (gbuf[base // 128, base % 128],
-                                    gbuf[(base + 1) // 128, (base + 1) % 128],
-                                    gbuf[(base + 2) // 128, (base + 2) % 128])
+                        def vtx(ii, jj):
+                            base = 3 * (ii * (g + 1) + jj)
+                            return (gbuf[i, base // 128, base % 128],
+                                    gbuf[i, (base + 1) // 128,
+                                         (base + 1) % 128],
+                                    gbuf[i, (base + 2) // 128,
+                                         (base + 2) % 128])
 
                         # NOTE: grid rows store WORLD vertices; intersect the
                         # WORLD ray (compressed.h:591-610)
@@ -461,7 +497,7 @@ def _make_kernel(mode: str, cl: int):
 
                 def do_inner(args):
                     t, u, v, tile, tloc = args
-                    word = nbuf[curr].astype(jnp.uint32)
+                    word = nbuf[i, curr].astype(jnp.uint32)
                     xz = (word & 0xFF).astype(jnp.int32)
                     x_ = ((word >> 8) & 0xFF).astype(jnp.int32)
                     yz = ((word >> 16) & 0xFF).astype(jnp.int32)
@@ -507,18 +543,18 @@ def _make_kernel(mode: str, cl: int):
                         cs.append(jnp.int32(0) + curr * 4 + 1 + c)
                         boxes.append((cxs[c], cys[c], lz, cXs[c], cYs[c], hz))
                     bx = [list(b) for b in boxes]
-                    for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-                        sw = ks[i] < ks[j]
-                        ks[i], ks[j] = (jnp.where(sw, ks[j], ks[i]),
-                                        jnp.where(sw, ks[i], ks[j]))
-                        cs[i], cs[j] = (jnp.where(sw, cs[j], cs[i]),
-                                        jnp.where(sw, cs[i], cs[j]))
-                        ps[i], ps[j] = (jnp.where(sw, ps[j], ps[i]),
-                                        jnp.where(sw, ps[i], ps[j]))
+                    for (a, b) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                        sw = ks[a] < ks[b]
+                        ks[a], ks[b] = (jnp.where(sw, ks[b], ks[a]),
+                                        jnp.where(sw, ks[a], ks[b]))
+                        cs[a], cs[b] = (jnp.where(sw, cs[b], cs[a]),
+                                        jnp.where(sw, cs[a], cs[b]))
+                        ps[a], ps[b] = (jnp.where(sw, ps[b], ps[a]),
+                                        jnp.where(sw, ps[a], ps[b]))
                         for m in range(6):
-                            bx[i][m], bx[j][m] = (
-                                jnp.where(sw, bx[j][m], bx[i][m]),
-                                jnp.where(sw, bx[i][m], bx[j][m]))
+                            bx[a][m], bx[b][m] = (
+                                jnp.where(sw, bx[b][m], bx[a][m]),
+                                jnp.where(sw, bx[a][m], bx[b][m]))
                     sp2 = qsp
                     for k in range(4):
                         sp_k = sp2
@@ -548,26 +584,33 @@ def _make_kernel(mode: str, cl: int):
                     (t, u, v, tile, tloc))
                 return qsp, t, u, v, tile, tloc, qpops + 1
 
+            def qstep(carry):
+                # pop TWO quadtree nodes per while iteration: the
+                # Mosaic per-iteration loop overhead (~0.7 us) dominates
+                # the walk at one-pop-per-iteration (r5 measurement on
+                # the rowtrace2 kernel; same pathology here)
+                carry = jax.lax.cond(carry[0] > 0, _qpop,
+                                     lambda c: c, carry)
+                return jax.lax.cond(carry[0] > 0, _qpop,
+                                    lambda c: c, carry)
+
             def qcond(carry):
                 return (carry[0] > 0) & (carry[6] < max_pops)
 
             _qsp, t, u, v, tile, _tl, _qp = jax.lax.while_loop(
                 qcond, qstep,
                 (jnp.int32(1), t, u, v, tile, tloc, jnp.int32(0)))
-            return t, u, v, tile, pops
+            return t, u, v, tile
 
-        # ---- top-level walk (same scheme as pallas_packet) --------------
-        def step(carry):
-            sp, t, u, v, tile, pops = carry
-            sp = sp - 1
-            node = stack[sp]
-            ndma = pltpu.make_async_copy(topnodes.at[node], nrow, nsem)
-            ndma.start()
-            ndma.wait()
-            keys, childs, pushes = [], [], []
+        # ---- top-level walk: K-wide unified node/tile stack -------------
+        eff_depth = STACK_DEPTH - (3 * 80 + K * 4)
+
+        def process_node(i, t, u, v, tile, sp, drops):
+            keys, refs, pushes = [], [], []
             for c in range(4):
-                lx = nrow[0 + c]; ly = nrow[4 + c]; lz = nrow[8 + c]
-                hx = nrow[12 + c]; hy = nrow[16 + c]; hz = nrow[20 + c]
+                lx = nrow[i, 0 + c]; ly = nrow[i, 4 + c]; lz = nrow[i, 8 + c]
+                hx = nrow[i, 12 + c]; hy = nrow[i, 16 + c]
+                hz = nrow[i, 20 + c]
                 tx0 = lx * rdx - orx; tx1 = hx * rdx - orx
                 ty0 = ly * rdy - ory; ty1 = hy * rdy - ory
                 tz0 = lz * rdz - orz; tz1 = hz * rdz - orz
@@ -581,51 +624,76 @@ def _make_kernel(mode: str, cl: int):
                 hitm = (tmin <= tmax) & (tmin <= t)
                 dist = jnp.min(jnp.where(hitm, tmin, INF))
                 any_hit = dist < INF
-                cc = nrow[24 + c].astype(jnp.int32)
-                cnt = nrow[28 + c].astype(jnp.int32)
-
-                is_leaf = any_hit & (cnt > 0)
-                t, u, v, tile, pops = jax.lax.cond(
-                    is_leaf,
-                    lambda a, cc=cc: tile_intersect(tidx[cc], *a),
-                    lambda a: a, (t, u, v, tile, pops))
-
-                push_c = any_hit & (cnt == 0)
-                keys.append(jnp.where(push_c, dist, -INF))
-                childs.append(cc)
-                pushes.append(push_c)
-
-            for (i, j) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
-                sw = keys[i] < keys[j]
-                keys[i], keys[j] = (jnp.where(sw, keys[j], keys[i]),
-                                    jnp.where(sw, keys[i], keys[j]))
-                childs[i], childs[j] = (jnp.where(sw, childs[j], childs[i]),
-                                        jnp.where(sw, childs[i], childs[j]))
-                pushes[i], pushes[j] = (jnp.where(sw, pushes[j], pushes[i]),
-                                        jnp.where(sw, pushes[i], pushes[j]))
+                cc = nrow[i, 24 + c].astype(jnp.int32)
+                cnt = nrow[i, 28 + c].astype(jnp.int32)
+                ok = any_hit & (cnt >= 0)
+                # leaf = one tile (the oriented builder forces
+                # maxLeafSize=1, bvh_builder_subdiv.cpp:842-846)
+                ref = jnp.where(cnt > 0, -(tidx[cc] + 1), cc)
+                keys.append(jnp.where(ok, dist, -INF))
+                refs.append(ref)
+                pushes.append(ok)
+            for (a, b) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                sw = keys[a] < keys[b]
+                keys[a], keys[b] = (jnp.where(sw, keys[b], keys[a]),
+                                    jnp.where(sw, keys[a], keys[b]))
+                refs[a], refs[b] = (jnp.where(sw, refs[b], refs[a]),
+                                    jnp.where(sw, refs[a], refs[b]))
+                pushes[a], pushes[b] = (
+                    jnp.where(sw, pushes[b], pushes[a]),
+                    jnp.where(sw, pushes[a], pushes[b]))
             for k in range(4):
                 sp_k = sp
+                can = pushes[k] & (sp_k < STACK_DEPTH)
 
-                @pl.when(pushes[k])
+                @pl.when(can)
                 def _(sp_k=sp_k, k=k):
-                    stack[sp_k] = childs[k]
+                    stack[sp_k] = refs[k]
 
-                sp = sp + pushes[k].astype(jnp.int32)
-            return sp, t, u, v, tile, pops + 1
+                sp = sp + can.astype(jnp.int32)
+                drops = drops + (pushes[k] & ~can).astype(jnp.int32)
+            return t, u, v, tile, sp, drops
+
+        def step(carry):
+            sp, t, u, v, tile, pops, drops = carry
+            npop = jnp.minimum(jnp.minimum(sp, K),
+                               jnp.maximum(1, (eff_depth - sp) // 4))
+            refs = []
+            for i in range(K):
+                idx = jnp.maximum(sp - 1 - i, 0)
+                r = jnp.where(i < npop, stack[idx], SENT)
+                refs.append(r)
+                start_ref(i, r)
+            sp = sp - npop
+            for i in range(K):
+                wait_ref(i, refs[i])
+                is_node = refs[i] >= 0
+                is_tile = (refs[i] < 0) & (refs[i] != SENT)
+                t, u, v, tile, sp, drops = jax.lax.cond(
+                    is_node,
+                    lambda a, i=i: process_node(i, *a),
+                    lambda a: a, (t, u, v, tile, sp, drops))
+                t, u, v, tile = jax.lax.cond(
+                    is_tile,
+                    lambda a, i=i: tile_intersect(i, -refs[i] - 1, *a),
+                    lambda a: a, (t, u, v, tile))
+            return sp, t, u, v, tile, pops + 1, drops
 
         def cond(carry):
             return (carry[0] > 0) & (carry[5] < max_pops)
 
         tile0 = jnp.full(TILE, -1, jnp.int32)
         z = jnp.zeros(TILE, jnp.float32)
-        sp, t, u, v, tile, pops = jax.lax.while_loop(
-            cond, step, (jnp.int32(1), tf_in[:], z, z, tile0, jnp.int32(0)))
+        sp, t, u, v, tile, pops, drops = jax.lax.while_loop(
+            cond, step, (jnp.int32(1), tf_in[:], z, z, tile0, jnp.int32(0),
+                         jnp.int32(0)))
         t_out[:] = t
         u_out[:] = u
         v_out[:] = v
         tile_out[:] = tile
         b = pl.program_id(0)
         stats_out[b, 0] = pops
+        stats_out[b, 1] = drops
 
     return kernel
 
@@ -660,18 +728,19 @@ def _run(pc: PallasCompressed, tiles_in, num_blocks: int, mode: str, cl: int,
             jax.ShapeDtypeStruct((num_blocks, 2), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),   # top stack
-            pltpu.SMEM((128,), jnp.float32),         # top node row
-            pltpu.SMEM((128,), jnp.float32),         # tile header
-            pltpu.SMEM((128,), jnp.int32),           # tile nodes
-            pltpu.SMEM((128,), jnp.int32),           # tile leaf
-            pltpu.SMEM((8, 128), jnp.float32),       # tile grid
-            pltpu.SMEM((QDEPTH,), jnp.int32),        # quadtree stack
-            pltpu.SMEM((QDEPTH, 6), jnp.float32),    # quadtree box stack
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),       # top ref stack
+            pltpu.SMEM((POP_K, 128), jnp.float32),       # K node rows
+            pltpu.SMEM((POP_K, 128), jnp.float32),       # K tile headers
+            pltpu.SMEM((POP_K, 128), jnp.int32),         # K tile nodes
+            pltpu.SMEM((POP_K, 128), jnp.int32),         # K tile leaves
+            pltpu.SMEM((POP_K, 8, 128), jnp.float32),    # K tile grids
+            pltpu.SMEM((QDEPTH,), jnp.int32),            # quadtree stack
+            pltpu.SMEM((QDEPTH, 6), jnp.float32),        # quadtree boxes
+            pltpu.SemaphoreType.DMA((POP_K,)),
+            pltpu.SemaphoreType.DMA((POP_K,)),
+            pltpu.SemaphoreType.DMA((POP_K,)),
+            pltpu.SemaphoreType.DMA((POP_K,)),
+            pltpu.SemaphoreType.DMA((POP_K,)),
         ],
         interpret=interpret,
     )(params, pc.tile_of_leaf, pc.topnodes, pc.theader, pc.tnodes, pc.tleaf,

@@ -65,7 +65,11 @@ ROBUST_MIN = np.float32(1.0 - 3.0 * 2.0 ** -23)
 ROBUST_MAX = np.float32(1.0 + 3.0 * 2.0 ** -23)
 INF = np.float32(np.inf)
 NINF = np.float32(-np.inf)
-MAX_MID_WORDS = 8          # mid-mask capacity: 256 mids
+MAX_MID_WORDS = 24         # mid-mask capacity: 768 mids (r5: cap lift,
+#                            VERDICT r4 #4 — 768 mids x fan 128 x ~240
+#                            prims/treelet ~ 23M prims on the fast path;
+#                            mask words and the mbox PICK rows scale
+#                            with the scene, so small scenes pay nothing)
 BIG = np.int32(1 << 24)
 DONE_KEY = np.int32(1 << 30)
 
@@ -150,15 +154,15 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
         # inputs: 7 ray + t,prim,cur,seed + mid_words + fan_words
         n_in = 11 + mid_words + fan_words
         ins = args[:n_in]
-        outs = args[n_in:n_in + 5 + mid_words + fan_words]
-        scratch = args[n_in + 5 + mid_words + fan_words:]
+        outs = args[n_in:n_in + 6 + mid_words + fan_words]
+        scratch = args[n_in + 6 + mid_words + fan_words:]
         (ox, oy, oz, dx, dy, dz, tn,
          t_in, prim_in, cur_in, seed_in) = ins[:11]
         mm_in = ins[11:11 + mid_words]
         fm_in = ins[11 + mid_words:]
-        (t_o, prim_o, cur_o, seed_o, key_o) = outs[:5]
-        mm_o = outs[5:5 + mid_words]
-        fm_o = outs[5 + mid_words:]
+        (t_o, prim_o, cur_o, seed_o, key_o, stats_o) = outs[:6]
+        mm_o = outs[6:6 + mid_words]
+        fm_o = outs[6 + mid_words:]
         stage, midstage, sem1, sem2 = scratch
 
         o_x, o_y, o_z = ox[:], oy[:], oz[:]
@@ -198,10 +202,10 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             the pair mask one 128-pair CHUNK at a time with that
             chunk's 20 leaf rows (Ng recomputed in-kernel from e1/e2).
 
-            Iteration caps count ITERATIONS, each retiring 2 units: a
-            lane visits each of the 85 inner slots at most once (<=43
-            iterations, cap 48) and each of a chunk's 128 pairs at most
-            once (<=64 iterations, cap 68), so the loops cannot
+            Iteration caps count ITERATIONS, each retiring 4 units: a
+            lane visits each of the 85 inner slots at most once (<=22
+            iterations, cap 24) and each of a chunk's 128 pairs at most
+            once (<=32 iterations, cap 34), so the loops cannot
             silently truncate."""
             PM_WORDS = 8   # 256 leaf-pair bits
             NM_WORDS = 3   # 85 inner-slot bits
@@ -252,10 +256,14 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 nm = list(carry[:NM_WORDS])
                 pm = list(carry[NM_WORDS:NM_WORDS + PM_WORDS])
                 iters = carry[NM_WORDS + PM_WORDS]
-                # visit TWO pending inner nodes per iteration (visit
-                # order is irrelevant — leaf tests are deferred), so the
-                # per-iteration while-loop overhead amortizes over 2
-                for _u in range(2):
+                # visit FOUR pending inner nodes per iteration (visit
+                # order is irrelevant — leaf tests are deferred): the
+                # r5 schedule counters measured ~0.7 us of Mosaic
+                # while-loop overhead PER ITERATION dominating the
+                # whole forward (642k iterations ~ 450 ms at 2M rays),
+                # so amortizing it 4 ways beats the extra masked
+                # gathers by a wide margin
+                for _u in range(4):
                     nxt = _ffs_words(nm)
                     have = nxt < BIG
                     nm = _clear_bit(nm, nxt, have)
@@ -268,7 +276,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 anyb = carry[0] != 0
                 for w in carry[1:NM_WORDS]:
                     anyb = anyb | (w != 0)
-                return jnp.any(anyb) & (carry[NM_WORDS + PM_WORDS] < 48)
+                return jnp.any(anyb) & (carry[NM_WORDS + PM_WORDS] < 24)
 
             # root step: every participating lane is at slot 0, so the
             # 12 packed fields are STATIC row reads (no gather)
@@ -295,7 +303,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 def leaf_step(carry):
                     t, prim, iters = carry[:3]
                     pmc = list(carry[3:])
-                    for _u in range(2):
+                    for _u in range(4):
                         p = _ffs_words(pmc)
                         have = p < BIG
                         pmc = _clear_bit(pmc, p, have)
@@ -353,17 +361,18 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                     anyp = carry[3] != 0
                     for w in carry[4:]:
                         anyp = anyp | (w != 0)
-                    return jnp.any(anyp) & (carry[2] < 68)
+                    return jnp.any(anyp) & (carry[2] < 34)
 
                 outl = jax.lax.while_loop(
                     leaf_cond, leaf_step,
                     tuple([t, prim, jnp.int32(0)] + pmc))
-                return outl[0], outl[1]
+                return outl[0], outl[1], outl[2]
 
             # chunk masks are chunk-local 128-bit (words 0..3 / 4..7)
-            t, prim = drain_chunk(0, t, prim, pm[:4])
-            t, prim = drain_chunk(1, t, prim, pm[4:])
-            return t, prim
+            n_it = out[NM_WORDS + PM_WORDS]
+            t, prim, l_it0 = drain_chunk(0, t, prim, pm[:4])
+            t, prim, l_it1 = drain_chunk(1, t, prim, pm[4:])
+            return t, prim, n_it, l_it0 + l_it1
 
         def fan_pass(t):
             """Slab the staged fan-box row against the lane's CURRENT t
@@ -385,6 +394,8 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             (t, prim, cur, seed, turns) = carry[:5]
             mm = list(carry[5:5 + mid_words])
             fm = list(carry[5 + mid_words:5 + mid_words + fan_words])
+            st_walk, st_part, st_nit, st_lit = \
+                carry[5 + mid_words + fan_words:]
 
             # 1: PICK lanes take their next mid (or finish). Each
             # candidate mid's box is slab-tested against the lane's
@@ -399,20 +410,24 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 mm = list(args[:mid_words])
                 cur, seed = args[mid_words], args[mid_words + 1]
                 pick = cur == _PICK
+                n_mrows = mbox.shape[1]
                 for _ in range(4):
                     nxt = _ffs_words(mm)
                     havebit = pick & (nxt < BIG)
                     lane = jnp.bitwise_and(jnp.maximum(nxt, 0), 127)
-                    hi_half = nxt >= 128
+                    mrow = jax.lax.shift_right_logical(
+                        jnp.maximum(nxt, 0), 7)
                     mb = []
                     for f in range(6):
-                        c0 = jnp.take_along_axis(
+                        v = jnp.take_along_axis(
                             jnp.broadcast_to(mbox[f, 0, :][None, :],
                                              (8, 128)), lane, axis=1)
-                        c1 = jnp.take_along_axis(
-                            jnp.broadcast_to(mbox[f, 1, :][None, :],
-                                             (8, 128)), lane, axis=1)
-                        mb.append(jnp.where(hi_half, c1, c0))
+                        for rr_ in range(1, n_mrows):
+                            vr = jnp.take_along_axis(
+                                jnp.broadcast_to(mbox[f, rr_, :][None, :],
+                                                 (8, 128)), lane, axis=1)
+                            v = jnp.where(mrow == rr_, vr, v)
+                        mb.append(v)
                     tmin_m, tmax_m = _slab(mb[0], mb[1], mb[2], mb[3],
                                            mb[4], mb[5], rdx, rdy, rdz,
                                            orx, ory, orz, tnear)
@@ -491,7 +506,11 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                         sem1.at[r]).wait()
             fm = _clear_bit(fm, cand, part)
             # no participants -> the walk's while cond is false on entry
-            t, prim = walk(part, t, prim)
+            t, prim, n_it, l_it = walk(part, t, prim)
+            st_walk = st_walk + jnp.any(part).astype(jnp.int32)
+            st_part = st_part + jnp.sum(part.astype(jnp.int32))
+            st_nit = st_nit + n_it
+            st_lit = st_lit + l_it
             if occluded:
                 cur = jnp.where(t == NINF, _DONE, cur)
 
@@ -500,7 +519,8 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             cur = jnp.where(drained, _PICK, cur)
             seed = jnp.where(drained, 0, seed)
 
-            return tuple([t, prim, cur, seed, turns + 1] + mm + fm)
+            return tuple([t, prim, cur, seed, turns + 1] + mm + fm
+                         + [st_walk, st_part, st_nit, st_lit])
 
         def turn_cond(carry):
             cur, turns = carry[2], carry[4]
@@ -508,11 +528,15 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
 
         init = tuple([t_in[:], prim_in[:], cur_in[:], seed_in[:],
                       jnp.int32(0)]
-                     + [m[:] for m in mm_in] + [f[:] for f in fm_in])
+                     + [m[:] for m in mm_in] + [f[:] for f in fm_in]
+                     + [jnp.int32(0)] * 4)
         out = jax.lax.while_loop(turn_cond, turn, init)
         t, prim, cur, seed = out[0], out[1], out[2], out[3]
         mm = list(out[5:5 + mid_words])
         fm = list(out[5 + mid_words:5 + mid_words + fan_words])
+        st_turns = out[4]
+        st_walk, st_part, st_nit, st_lit = \
+            out[5 + mid_words + fan_words:]
 
         t_o[:] = t
         prim_o[:] = prim
@@ -526,6 +550,16 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
         key_o[:] = jnp.where(cur == _DONE, DONE_KEY,
                              jnp.maximum(cur, 0) * 130
                              + jnp.where(nxt < BIG, nxt, 129))
+        # per-tile schedule counters (STAT3 analog): sublane r carries
+        # [turns, walks, sum(participants), node iters, leaf iters]
+        row = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        sv = jnp.where(row == 0, st_turns,
+                       jnp.where(row == 1, st_walk,
+                                 jnp.where(row == 2, st_part,
+                                           jnp.where(row == 3, st_nit,
+                                                     st_lit))))
+        stats_o[:] = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == 0, sv, 0)
 
     return kernel
 
@@ -542,10 +576,11 @@ def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
     tile = (8, 128)
     ray_spec = pl.BlockSpec(tile, lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    mbox_spec = pl.BlockSpec((6, 2, 128), lambda i, *_: (0, 0, 0),
+    mbox_spec = pl.BlockSpec((6, mbox.shape[1], 128),
+                             lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     n_in = 11 + mid_words + fan_words
-    n_out = 5 + mid_words + fan_words
+    n_out = 6 + mid_words + fan_words
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
@@ -560,7 +595,8 @@ def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
              pltpu.SemaphoreType.DMA((8,)),
              pltpu.SemaphoreType.DMA((8,))]),
     )
-    dts = ([jnp.float32, jnp.int32, jnp.int32, jnp.int32, jnp.int32]
+    dts = ([jnp.float32, jnp.int32, jnp.int32, jnp.int32, jnp.int32,
+            jnp.int32]
            + [jnp.int32] * (mid_words + fan_words))
     out_shape = tuple(jax.ShapeDtypeStruct((ntiles * 8, 128), dt)
                       for dt in dts)
@@ -577,23 +613,25 @@ def _run_rowtrace2(ts_blocks, ts_tre, mbox, tiles, fan: int,
 # outer driver
 # ---------------------------------------------------------------------------
 
-_BUCKET_DIVS = (256, 64, 16, 4, 1)
+_BUCKET_DIVS = (256, 64, 16, 4, 2, 1)
 
 
 def _in_cap_for(size: int, Rp: int) -> int:
-    """Regroup cadence: while many rays are active, global sorts keep
-    rows coherent, so resort after a FEW in-kernel turns; once the
-    active set is small (fragmented groups), let the kernel chew long
-    chains in-place instead of paying dispatch+sort per unit."""
+    """Regroup cadence: global sorts keep rows coherent; stale in-kernel
+    turns cost while-loop iterations, which the r5 schedule counters
+    measured as THE dominant cost (~0.7 us Mosaic overhead per
+    iteration). The r5 sweep (x1=3.72, half=4.68, quarter=4.86 Mray/s
+    fwd at 2M rays; x2/x4 regress) landed on sorting nearly every
+    turn while the active set is large."""
     if size >= Rp:
-        return 3
+        return 1
     if size * 4 >= Rp:
-        return 6
+        return 2
     if size * 16 >= Rp:
-        return 12
+        return 4
     if size * 64 >= Rp:
-        return 32
-    return 128
+        return 8
+    return 32
 
 
 def _bucket1024(n: int) -> int:
@@ -668,14 +706,16 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
     mm, key = _mid_mask_prepass(org, d, tn, tf, mid_boxes, num_mids,
                                 mid_words)
 
-    # mid boxes for the in-kernel PICK prune: (6, 2, 128) VMEM layout,
-    # pads inverted so they can never test live
+    # mid boxes for the in-kernel PICK prune: (6, n_mrows, 128) VMEM
+    # layout (row = mid >> 7), pads inverted so they can never test live
     mb2 = mid_boxes.reshape(-1, 6)
-    padm = 256 - mb2.shape[0]
+    n_mrows = max(2, -(-mb2.shape[0] // 128))
+    padm = n_mrows * 128 - mb2.shape[0]
     padrow = jnp.concatenate([jnp.full((padm, 3), INF, jnp.float32),
                               jnp.full((padm, 3), NINF, jnp.float32)],
                              axis=1)
-    mbox = jnp.concatenate([mb2, padrow], axis=0).T.reshape(6, 2, 128)
+    mbox = jnp.concatenate([mb2, padrow], axis=0).T.reshape(6, n_mrows,
+                                                            128)
 
     def pc(x, fill, dt=jnp.float32):
         return jnp.concatenate([x.astype(dt), jnp.full((pad,), fill, dt)])
@@ -729,47 +769,65 @@ def _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf, *,
             merge(9, outs[2])
             merge(10, outs[3])
             merge(12, outs[4])
+            stats = jnp.sum(outs[5].reshape(-1, 8, 128)[:, :5, 0], axis=0)
             for w in range(mid_words + fan_words):
-                merge(13 + w, outs[5 + w])
+                merge(13 + w, outs[6 + w])
             sl = tuple(a[:size] for a in st)
             sl2 = jax.lax.sort((sl[12],) + sl, num_keys=1)[1:]
             st = tuple(f.at[:size].set(s) for f, s in zip(st, sl2))
             n_act = jnp.sum(sl2[12] != DONE_KEY)
-            return st, n_act
+            return st, n_act, stats
         return branch
 
     branches = [round_at(s) for s in sizes]
     cap = max_rounds if max_rounds else (1 << 16)
 
     def body(carry):
-        st, n_act, rounds = carry
+        st, n_act, rounds, stats = carry
         idx = jnp.int32(0)
         for s in sizes[:-1]:
             idx = idx + (n_act > s).astype(jnp.int32)
-        st, n_act = jax.lax.switch(idx, branches, st)
-        return st, n_act, rounds + 1
+        st, n_act, rstats = jax.lax.switch(idx, branches, st)
+        return st, n_act, rounds + 1, stats + rstats
 
     def cond(carry):
         return (carry[1] > 0) & (carry[2] < cap)
 
-    state, n_active, rounds = jax.lax.while_loop(
-        cond, body, (state, n_active, jnp.int32(0)))
+    state, n_active, rounds, stats = jax.lax.while_loop(
+        cond, body, (state, n_active, jnp.int32(0),
+                     jnp.zeros((5,), jnp.int32)))
 
     out = jax.lax.sort((state[11], state[7], state[8]), num_keys=1)
     t = out[1][:R]
     prim = out[2][:R]
     if occluded:
-        return t, prim
+        return t, prim, (rounds, stats)
     miss = prim < 0
     t = jnp.where(miss, tf.astype(jnp.float32), t)
-    return t, prim
+    return t, prim, (rounds, stats)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _rowtrace2_cv(arrs, static):
     blocks, tre_boxes, mid_boxes, org, d, tn, tf = arrs
-    return _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d, tn, tf,
-                           **dict(static))
+    t, prim, _st = _rowtrace2_impl(blocks, tre_boxes, mid_boxes, org, d,
+                                   tn, tf, **dict(static))
+    return t, prim
+
+
+def rowtrace2_schedule_stats(ts, rays, **kw):
+    """Debug/roofline entry: full traversal + (rounds, [turns, walks,
+    sum participants, node iters, leaf iters]) schedule counters."""
+    org = rays.org.reshape(-1, 3)
+    d = rays.dir.reshape(-1, 3)
+    tn = rays.tnear.reshape(-1)
+    tf = rays.tfar.reshape(-1)
+    t, prim, st = _rowtrace2_impl(
+        ts.blocks, ts.tre_boxes, ts.mid_boxes, org, d, tn, tf,
+        fan=ts.fan, num_mids=ts.num_mids, num_treelets=ts.num_treelets,
+        occluded=False, cull=False, interpret=kw.get("interpret", False),
+        R=tn.shape[0], max_rounds=kw.get("max_rounds", 0))
+    return t, prim, st
 
 
 def _rt2_fwd(arrs, static):

@@ -72,3 +72,53 @@ def test_grad_zero_for_missing_rays():
 
     g = np.asarray(jax.grad(loss)(jnp.asarray(verts0)))
     assert np.all(g == 0.0)
+
+
+def test_hit_t_grad_fused_matches_reeval(rng):
+    """bench.py's fused t-gradient (diff/hit.py hit_t_grad: kernel-t
+    primal + analytic dt/dcorner VJP) must match the autodiff
+    re-evaluation gradient and central finite differences."""
+    import jax
+    import jax.numpy as jnp
+
+    from embree_tpu.diff.hit import hit_t_grad, reeval_hit_verts
+    from embree_tpu.scene.scene import scene_intersect
+    from embree_tpu.verify.fixtures import triangle_sphere
+
+    verts, idx = triangle_sphere((0, 0, 0), 1.5, 10)
+    dev = et.Device("ignore_config_files=1")
+    s = et.Scene(dev)
+    s.attach(et.TriangleMesh(verts, idx))
+    cs = s.commit()
+    n = 300
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    org = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    rays = et.make_rays(org, d)
+    idxd = jnp.asarray(np.asarray(idx))
+    sel = scene_intersect(cs, rays, isa="xla")
+
+    def loss_re(v):
+        t, _u, _v = reeval_hit_verts(v, idxd, rays, sel.gprim, sel.valid)
+        return jnp.sum(jnp.where(sel.valid, t, 0.0))
+
+    def loss_fu(v):
+        t = hit_t_grad(v, idxd, rays, sel.gprim, sel.valid, sel.t)
+        return jnp.sum(jnp.where(sel.valid, t, 0.0))
+
+    vp = jnp.asarray(verts)
+    ga = np.asarray(jax.grad(loss_re)(vp))
+    gb = np.asarray(jax.grad(loss_fu)(vp))
+    scale = np.abs(ga).max()
+    np.testing.assert_allclose(gb, ga, rtol=1e-3, atol=2e-4 * scale)
+    # spot FD on the 3 largest-gradient coordinates
+    flat = np.abs(ga).ravel()
+    for j in np.argsort(flat)[-3:]:
+        vi, ax = divmod(int(j), 3)
+        h = 1e-3
+        e = np.zeros_like(np.asarray(verts))
+        e[vi, ax] = h
+        fd = (float(loss_re(jnp.asarray(verts + e)))
+              - float(loss_re(jnp.asarray(verts - e)))) / (2 * h)
+        np.testing.assert_allclose(gb[vi, ax], fd, rtol=5e-2,
+                                   atol=1e-3 * scale)

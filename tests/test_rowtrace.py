@@ -223,3 +223,30 @@ def test_rowtrace2_adversarial_no_truncation(rng):
     # occluded flavor under the same stress
     t2, _ = intersect_rowtrace2(ts, rays, occluded=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(t2) == -np.inf, m)
+
+
+def test_rowtrace_beyond_256_mids(rng):
+    """VERDICT r4 #4 (cap lift): scenes needing >8 mid-mask words (the
+    old 256-mid ceiling) must traverse exactly. fan=1 maximizes the mid
+    count; this build lands at ~300+ mids (mid_words ~ 10)."""
+    verts, idx = triangle_sphere((0, 0, 0), 2.0, 200)   # ~80k tris
+    v = np.asarray(verts, np.float32)
+    i = np.asarray(idx)
+    ts = build_treelet_scene(v[i[:, 0]], v[i[:, 1]], v[i[:, 2]],
+                             np.arange(len(i)), fan=1).to_device()
+    assert ts.num_mids > 256, ts.num_mids
+    from embree_tpu.traverse.rowtrace2 import fits_rowtrace2
+    assert fits_rowtrace2(ts.num_mids, ts.fan)
+
+    nray = 192
+    org = rng.uniform(-3, 3, (nray, 3)).astype(np.float32)
+    d = rng.normal(size=(nray, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = et.make_rays(org, d)
+    t, prim = intersect_rowtrace2(ts, rays, interpret=True)
+    ref = _ref_hits(verts, idx, rays)
+    np.testing.assert_array_equal(np.asarray(prim) >= 0,
+                                  np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4, atol=1e-5)

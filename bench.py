@@ -74,7 +74,8 @@ def main() -> int:
         # re-evaluation's (tools/profile_bwd.py / tests/test_diff.py
         # check equivalence)
         sel = jax.lax.stop_gradient(scene_intersect(c, r, isa=isa))
-        t = hit_t_grad(vertices, idxd, r, sel.gprim, sel.valid, sel.t)
+        t = hit_t_grad(vertices, idxd, r, sel.gprim, sel.valid,
+                       sel.t, tris=c.tris)
         return jnp.sum(jnp.where(sel.valid, t, 0.0))
 
     f = jax.jit(jax.value_and_grad(loss_fn))

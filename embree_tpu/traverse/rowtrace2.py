@@ -202,10 +202,10 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             the pair mask one 128-pair CHUNK at a time with that
             chunk's 20 leaf rows (Ng recomputed in-kernel from e1/e2).
 
-            Iteration caps count ITERATIONS, each retiring 4 units: a
-            lane visits each of the 85 inner slots at most once (<=22
-            iterations, cap 24) and each of a chunk's 128 pairs at most
-            once (<=32 iterations, cap 34), so the loops cannot
+            Iteration caps count ITERATIONS, each retiring 8 units: a
+            lane visits each of the 85 inner slots at most once (<=11
+            iterations, cap 12) and each of a chunk's 128 pairs at most
+            once (<=16 iterations, cap 18), so the loops cannot
             silently truncate."""
             PM_WORDS = 8   # 256 leaf-pair bits
             NM_WORDS = 3   # 85 inner-slot bits
@@ -260,10 +260,13 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 # order is irrelevant — leaf tests are deferred): the
                 # r5 schedule counters measured ~0.7 us of Mosaic
                 # while-loop overhead PER ITERATION dominating the
-                # whole forward (642k iterations ~ 450 ms at 2M rays),
-                # so amortizing it 4 ways beats the extra masked
-                # gathers by a wide margin
-                for _u in range(4):
+                # whole forward (642k iterations ~ 450 ms at 2M rays).
+                # Unrolling is nearly free in gather terms: per
+                # iteration the row pays unroll x 12 gathers, but the
+                # iteration count shrinks by the same factor, so total
+                # row gathers stay ~constant while loop overhead
+                # divides by the unroll
+                for _u in range(8):
                     nxt = _ffs_words(nm)
                     have = nxt < BIG
                     nm = _clear_bit(nm, nxt, have)
@@ -276,7 +279,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 anyb = carry[0] != 0
                 for w in carry[1:NM_WORDS]:
                     anyb = anyb | (w != 0)
-                return jnp.any(anyb) & (carry[NM_WORDS + PM_WORDS] < 24)
+                return jnp.any(anyb) & (carry[NM_WORDS + PM_WORDS] < 12)
 
             # root step: every participating lane is at slot 0, so the
             # 12 packed fields are STATIC row reads (no gather)
@@ -303,7 +306,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 def leaf_step(carry):
                     t, prim, iters = carry[:3]
                     pmc = list(carry[3:])
-                    for _u in range(4):
+                    for _u in range(8):
                         p = _ffs_words(pmc)
                         have = p < BIG
                         pmc = _clear_bit(pmc, p, have)
@@ -361,7 +364,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                     anyp = carry[3] != 0
                     for w in carry[4:]:
                         anyp = anyp | (w != 0)
-                    return jnp.any(anyp) & (carry[2] < 34)
+                    return jnp.any(anyp) & (carry[2] < 18)
 
                 outl = jax.lax.while_loop(
                     leaf_cond, leaf_step,

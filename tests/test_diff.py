@@ -106,11 +106,19 @@ def test_hit_t_grad_fused_matches_reeval(rng):
         t = hit_t_grad(v, idxd, rays, sel.gprim, sel.valid, sel.t)
         return jnp.sum(jnp.where(sel.valid, t, 0.0))
 
+    def loss_fu_packed(v):
+        # packed-table corner source (the bench.py form)
+        t = hit_t_grad(v, idxd, rays, sel.gprim, sel.valid, sel.t,
+                       tris=cs.tris)
+        return jnp.sum(jnp.where(sel.valid, t, 0.0))
+
     vp = jnp.asarray(verts)
     ga = np.asarray(jax.grad(loss_re)(vp))
     gb = np.asarray(jax.grad(loss_fu)(vp))
     scale = np.abs(ga).max()
     np.testing.assert_allclose(gb, ga, rtol=1e-3, atol=2e-4 * scale)
+    gc = np.asarray(jax.grad(loss_fu_packed)(vp))
+    np.testing.assert_allclose(gc, ga, rtol=1e-3, atol=2e-4 * scale)
     # spot FD on the 3 largest-gradient coordinates
     flat = np.abs(ga).ravel()
     for j in np.argsort(flat)[-3:]:

@@ -22,6 +22,7 @@ the remote compiler but is server-cached; steady state is one dispatch.
 host transfer of the loss value every rep.
 """
 import json
+import os
 import sys
 import time
 
@@ -31,8 +32,9 @@ SCENE_RES = 707       # triangle_sphere(707) = 998,284 triangles
 # 2M incoherent rays per dispatch: same scene/ray distribution as the
 # reference's 1M-ray benchmark shape, doubled for device occupancy
 # (throughput is the metric; the TPU amortizes fixed dispatch/regroup
-# costs over the batch — fwd measured +7% at 2M vs 1M, BASELINE.md)
-N_RAYS = 1 << 21
+# costs over the batch). BENCH_LOG2_RAYS=20 reproduces the 1M-ray
+# number the ledger reports alongside (ADVICE r4).
+N_RAYS = 1 << int(os.environ.get("BENCH_LOG2_RAYS", "21"))
 
 
 def main() -> int:

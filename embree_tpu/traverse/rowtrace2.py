@@ -377,21 +377,55 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             t, prim, l_it1 = drain_chunk(1, t, prim, pm[4:])
             return t, prim, n_it, l_it0 + l_it1
 
+        def _fan_test(b_static_or_lane, t):
+            pl_ = [jnp.broadcast_to(
+                midstage[:, p, b_static_or_lane:b_static_or_lane + 1],
+                t.shape) for p in range(6)]
+            tmin, tmax = _slab(pl_[0], pl_[1], pl_[2], pl_[3], pl_[4],
+                               pl_[5], rdx, rdy, rdz, orx, ory, orz,
+                               tnear)
+            return (tmin <= tmax) & (tmin <= t)
+
         def fan_pass(t):
             """Slab the staged fan-box row against the lane's CURRENT t
-            (per-candidate pruning recovers entry-order termination)."""
-            fm = [zero_i] * fan_words
-            for b in range(fan):
-                pl_ = [jnp.broadcast_to(midstage[:, p, b:b + 1], t.shape)
-                       for p in range(6)]
-                tmin, tmax = _slab(pl_[0], pl_[1], pl_[2], pl_[3], pl_[4],
-                                   pl_[5], rdx, rdy, rdz, orx, ory, orz,
-                                   tnear)
-                ok = (tmin <= tmax) & (tmin <= t)
-                bit = np.int32(np.uint32(1 << (b % 32)))  # bit 31 wraps
-                fm[b // 32] = jnp.bitwise_or(
-                    fm[b // 32], jnp.where(ok, bit, 0))
-            return fm
+            (per-candidate pruning recovers entry-order termination).
+            Small fans unroll statically; large fans (the 16M-prim
+            fan=128 builds) roll a fori_loop with per-lane gathers —
+            the 128-wide static unroll made the remote Mosaic compile
+            take tens of minutes (r5)."""
+            if fan <= 40:
+                fm = [zero_i] * fan_words
+                for b in range(fan):
+                    ok = _fan_test(b, t)
+                    bit = np.int32(np.uint32(1 << (b % 32)))  # bit 31 wraps
+                    fm[b // 32] = jnp.bitwise_or(
+                        fm[b // 32], jnp.where(ok, bit, 0))
+                return fm
+
+            def body(b4, fm):
+                fm = list(fm)
+                for u in range(4):
+                    b = b4 * 4 + u
+                    lane = jnp.full_like(zero_i, 0) + b
+                    mb = [jnp.take_along_axis(midstage[:, p, :],
+                                              jnp.bitwise_and(lane, 127),
+                                              axis=1) for p in range(6)]
+                    tmin, tmax = _slab(mb[0], mb[1], mb[2], mb[3], mb[4],
+                                       mb[5], rdx, rdy, rdz, orx, ory,
+                                       orz, tnear)
+                    ok = (tmin <= tmax) & (tmin <= t)
+                    bit = jax.lax.shift_left(jnp.int32(1),
+                                             jnp.bitwise_and(b, 31))
+                    wq = jax.lax.shift_right_logical(b, 5)
+                    for w in range(fan_words):
+                        fm[w] = jnp.where(ok & (wq == w),
+                                          jnp.bitwise_or(fm[w], bit),
+                                          fm[w])
+                return tuple(fm)
+
+            fm = jax.lax.fori_loop(0, -(-fan // 4), body,
+                                   tuple([zero_i] * fan_words))
+            return list(fm)
 
         def turn(carry):
             (t, prim, cur, seed, turns) = carry[:5]

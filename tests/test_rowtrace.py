@@ -250,3 +250,27 @@ def test_rowtrace_beyond_256_mids(rng):
     m = np.asarray(ref.valid)
     np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_rowtrace_large_fan_rolled_pass(rng):
+    """fan > 40 takes the ROLLED fan_pass (fori + per-lane gathers —
+    the 128-wide static unroll was a remote-compile wall); exactness
+    must hold on the rolled path."""
+    verts, idx = triangle_sphere((0, 0, 0), 2.0, 100)   # ~20k tris
+    v = np.asarray(verts, np.float32)
+    i = np.asarray(idx)
+    ts = build_treelet_scene(v[i[:, 0]], v[i[:, 1]], v[i[:, 2]],
+                             np.arange(len(i)), fan=48).to_device()
+    assert ts.fan > 40
+    nray = 256
+    org = rng.uniform(-3, 3, (nray, 3)).astype(np.float32)
+    d = rng.normal(size=(nray, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = et.make_rays(org, d)
+    t, prim = intersect_rowtrace2(ts, rays, interpret=True)
+    ref = _ref_hits(verts, idx, rays)
+    np.testing.assert_array_equal(np.asarray(prim) >= 0,
+                                  np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-4, atol=1e-5)

@@ -21,11 +21,12 @@ v2 restructures the schedule around two ideas:
   min current mid over its lanes, DMAs that mid's fan-box row, seeds
   fan masks for matching lanes, picks the min next-treelet id, DMAs
   that treelet block (dynamic index into the HBM blocks array), and
-  walks it with the matching lanes. One kernel invocation retires MANY
-  (mid, treelet) units per row; the outer XLA loop only regroups
-  stragglers (lanes whose mid lost the row consensus) every IN_CAP
-  turns. Per-lane mid ids and fan ids advance monotonically, so the
-  row consensus (a running min) starves no lane.
+  walks it with the matching lanes. The outer XLA loop regroups by a
+  (mid, next-candidate) sort key every IN_CAP turns; the r5 schedule
+  counters showed stale turns cost more (while-loop iterations on
+  low-participation walks) than sorts, so large buckets now regroup
+  nearly every turn (_in_cap_for). Per-lane mid ids and fan ids
+  advance monotonically, so the row consensus starves no lane.
 
 Round 5 ("v5") doubled the treelet grain per the round-4 ledger
 (BASELINE.md: fragmentation is set by rays-per-treelet group density,
@@ -38,10 +39,11 @@ analog, bvh.h:1150-1324), so a node visit costs 12 gathers instead of
 128-lane chunks. The round-4 dual-treelet service (+2.4% for a 2x
 complexity tax) was removed.
 
-Scene-size cap: mid masks hold MAX_MID_WORDS*32 mids; with fan<=128
-and ~256-prim average treelets that bounds rowtrace scenes to ~16M
-prims (larger scenes keep the packet path; scene.py dispatch checks
-`fits_rowtrace2`).
+Scene-size cap: mid masks hold MAX_MID_WORDS*32 = 768 mids; with
+fan<=128 and ~240-prim average treelets that bounds rowtrace scenes to
+~23M prims (larger scenes keep the packet path; scene.py dispatch
+checks `fits_rowtrace2`). A 16.1M-tri build measures 67840 treelets /
+530 mids / 1.81 GB of HBM blocks (tools/measure_bigscene.py).
 
 Reference analogs: single-ray traversal bvh_intersector1.cpp:41-127,
 quantized nodes bvh.h:1150-1324, Moeller triangles
@@ -57,7 +59,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..build.treelets import (BLOCK_ROWS, L3_BASE, LEAF_FIELDS, NODE_ROWS,
+from ..build.treelets import (BLOCK_ROWS, L3_BASE, LEAF_FIELDS,
+                              N_INNER as N_INNER_SLOTS, NODE_ROWS,
                               TreeletScene)
 from ..core.rayhit import Rays
 
@@ -202,13 +205,16 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
             the pair mask one 128-pair CHUNK at a time with that
             chunk's 20 leaf rows (Ng recomputed in-kernel from e1/e2).
 
-            Iteration caps count ITERATIONS, each retiring 8 units: a
-            lane visits each of the 85 inner slots at most once (<=11
-            iterations, cap 12) and each of a chunk's 128 pairs at most
-            once (<=16 iterations, cap 18), so the loops cannot
-            silently truncate."""
+            Iteration caps count ITERATIONS, each retiring NU units
+            (NU = 8; 4 on wide-mask shapes): a lane visits each of the
+            85 inner slots at most once (cap ceil(85/NU)+2) and each of
+            a chunk's 128 pairs at most once (cap ceil(128/NU)+2), so
+            the loops cannot silently truncate."""
             PM_WORDS = 8   # 256 leaf-pair bits
             NM_WORDS = 3   # 85 inner-slot bits
+            NU = 8 if mid_words <= 8 else 4   # see node_step note
+            node_cap = -(-N_INNER_SLOTS // NU) + 2
+            leaf_cap = -(-128 // NU) + 2
 
             t0_c = t
 
@@ -265,8 +271,11 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 # iteration the row pays unroll x 12 gathers, but the
                 # iteration count shrinks by the same factor, so total
                 # row gathers stay ~constant while loop overhead
-                # divides by the unroll
-                for _u in range(8):
+                # divides by the unroll. Wide-mask shapes (mid_words >
+                # 8, i.e. >256-mid scenes) halve the unroll to keep the
+                # remote Mosaic compile tractable (the kernel body
+                # scales with unroll x mask words).
+                for _u in range(NU):
                     nxt = _ffs_words(nm)
                     have = nxt < BIG
                     nm = _clear_bit(nm, nxt, have)
@@ -279,7 +288,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 anyb = carry[0] != 0
                 for w in carry[1:NM_WORDS]:
                     anyb = anyb | (w != 0)
-                return jnp.any(anyb) & (carry[NM_WORDS + PM_WORDS] < 12)
+                return jnp.any(anyb) & (carry[NM_WORDS + PM_WORDS] < node_cap)
 
             # root step: every participating lane is at slot 0, so the
             # 12 packed fields are STATIC row reads (no gather)
@@ -306,7 +315,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                 def leaf_step(carry):
                     t, prim, iters = carry[:3]
                     pmc = list(carry[3:])
-                    for _u in range(8):
+                    for _u in range(NU):
                         p = _ffs_words(pmc)
                         have = p < BIG
                         pmc = _clear_bit(pmc, p, have)
@@ -364,7 +373,7 @@ def _rowtrace2_kernel(fan: int, mid_words: int, fan_words: int,
                     anyp = carry[3] != 0
                     for w in carry[4:]:
                         anyp = anyp | (w != 0)
-                    return jnp.any(anyp) & (carry[2] < 18)
+                    return jnp.any(anyp) & (carry[2] < leaf_cap)
 
                 outl = jax.lax.while_loop(
                     leaf_cond, leaf_step,

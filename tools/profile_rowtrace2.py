@@ -1,24 +1,10 @@
-"""Phase-level profile of rowtrace2 v5 at benchmark scale: mid prepass,
-full-size state sort, full forward, fwd+bwd split, and a max_rounds
-sweep to count outer regroup rounds."""
+"""Phase-level profile of rowtrace2 at benchmark scale: mid prepass,
+full-size state sort, forward, and the in-kernel SCHEDULE COUNTERS
+(turns / walks / participants / loop iterations) that drive the
+BASELINE.md round-5 roofline re-split."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
-
-
-def sync(x):
-    import jax, jax.numpy as jnp
-    return float(jax.jit(lambda a: jnp.sum(jnp.asarray(a, jnp.float32)))(x))
-
-
-def timeit(f, *a, reps=6):
-    out = f(*a)
-    sync(out[0] if isinstance(out, tuple) else out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = f(*a)
-        sync(out[0] if isinstance(out, tuple) else out)
-    return (time.perf_counter() - t0) / reps, out
 
 
 def main():
@@ -43,31 +29,32 @@ def main():
     d = rng.normal(size=(nrays, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     org = rng.uniform(-3.0, 3.0, (nrays, 3)).astype(np.float32)
-    orgj = jnp.asarray(org); dj = jnp.asarray(d)
-    tn = jnp.zeros((nrays,), jnp.float32)
-    tf = jnp.full((nrays,), np.inf, jnp.float32)
-    flat = Rays(orgj, dj, tn, tf)
+    flat = Rays(jnp.asarray(org), jnp.asarray(d),
+                jnp.zeros((nrays,), jnp.float32),
+                jnp.full((nrays,), np.inf, jnp.float32))
+    su = jax.jit(lambda a: jnp.sum(a))
 
-    mid_words = max(1, -(-ts.num_mids // 32))
-    ms, _ = timeit(lambda: rt._mid_mask_prepass(
-        orgj, dj, tn, tf, ts.mid_boxes, ts.num_mids, mid_words))
-    print(f"mid prepass: {ms*1e3:.1f} ms", flush=True)
+    t0 = time.perf_counter()
+    t, prim, (rounds, st) = rt.rowtrace2_schedule_stats(ts, flat)
+    hits = int(np.asarray((prim >= 0).sum()))
+    print(f"first call (compiles): {time.perf_counter()-t0:.1f}s "
+          f"hits={hits}", flush=True)
+    reps = 6
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        t, prim, _ = rt.rowtrace2_schedule_stats(ts, flat)
+        _ = float(su(t))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"fwd: {dt*1e3:.1f} ms => {nrays/dt/1e6:.2f} Mray/s", flush=True)
 
-    # full-size variadic sort cost (13 f32/i32 + mid/fan words payload)
-    n_pay = 13 + mid_words + 1
-    arrs = tuple(jnp.asarray(rng.integers(0, 1 << 20, nrays), jnp.int32)
-                 for _ in range(n_pay))
-    srt = jax.jit(lambda *a: jax.lax.sort(a, num_keys=1))
-    ms, _ = timeit(lambda: srt(*arrs))
-    print(f"full sort ({n_pay} arrays): {ms*1e3:.1f} ms", flush=True)
-
-    for cap in (1, 2, 4, 8, 16, 0):
-        ms, (t, prim) = timeit(
-            lambda cap=cap: rt.intersect_rowtrace2(ts, flat,
-                                                   max_rounds=cap), reps=3)
-        hits = int(np.asarray((prim >= 0).sum()))
-        print(f"fwd max_rounds={cap or 'inf'}: {ms*1e3:.1f} ms "
-              f"({nrays/ms/1e6:.2f} Mray/s) hits={hits}", flush=True)
+    st = np.asarray(st)
+    turns, walks, part, nit, lit = [int(x) for x in st]
+    print(f"rounds={int(rounds)} row-turns={turns} row-walks={walks} "
+          f"sum_part={part}")
+    print(f"avg participants/walk = {part/max(walks,1):.1f} of 1024 lanes")
+    print(f"walk-loop iterations: node={nit} leaf={lit} "
+          f"(x ~0.7us Mosaic overhead each)")
+    print(f"serve units = {part} ({part/max(hits,1):.2f} per hit ray)")
 
 
 main()
